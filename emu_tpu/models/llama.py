@@ -1,0 +1,291 @@
+"""LLaMA decoder (13B for Emu1, 33B for Emu2) with explicit KV-cache state.
+
+Behavioral model: HF `LlamaForCausalLM` as wrapped by the reference
+(Emu1/models/modeling_llama.py:127-257, Emu2/emu/lm.py:30-149) — RMSNorm
+(eps 1e-6), rotary attention (theta 10000), SwiGLU MLP, no biases, untied
+lm_head, token embeddings resized for the multimodal special tokens, and
+(Emu1) the `stu_regress_head` Linear(hidden→hidden, bias=False) that
+regresses visual embeddings (modeling_llama.py:169).
+
+TPU design:
+- layers stacked on a leading axis, executed via `lax.scan` (one compiled
+  block for 40/60 layers);
+- the KV cache is an explicit pytree `{k, v: [L, B, max_len, H, Dh]}`
+  threaded through `prefill` / `decode_step` and donated by the generation
+  loop — the replacement for HF's dynamic `past_key_values` lists, with
+  fully static shapes for XLA;
+- left-padded batches: positions derive from the attention mask, matching
+  HF generate's position_ids handling;
+- tensor parallelism: attention heads and MLP hidden sharded over the
+  "model" mesh axis (rule table at the bottom); GSPMD inserts the
+  all-reduces after o_proj / down_proj.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from emu_tpu.config import LlamaConfig
+from emu_tpu.ops import layers as L
+from emu_tpu.ops import rope as R
+from emu_tpu.ops.attention import dot_product_attention
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32,
+         with_regress_head: bool = False) -> dict:
+    d, v = cfg.hidden_size, cfg.extended_vocab_size
+    keys = iter(jax.random.split(key, 8))
+
+    def layer_init(k):
+        ks = iter(jax.random.split(k, 8))
+        return {
+            "input_layernorm": jnp.ones((d,), dtype),
+            "post_attention_layernorm": jnp.ones((d,), dtype),
+            "self_attn": {
+                "q_proj": L.dense_init(next(ks), d, d, use_bias=False,
+                                       dtype=dtype),
+                "k_proj": L.dense_init(next(ks), d, d, use_bias=False,
+                                       dtype=dtype),
+                "v_proj": L.dense_init(next(ks), d, d, use_bias=False,
+                                       dtype=dtype),
+                "o_proj": L.dense_init(next(ks), d, d, use_bias=False,
+                                       dtype=dtype),
+            },
+            "mlp": {
+                "gate": L.dense_init(next(ks), d, cfg.intermediate_size,
+                                     use_bias=False, dtype=dtype),
+                "up": L.dense_init(next(ks), d, cfg.intermediate_size,
+                                   use_bias=False, dtype=dtype),
+                "down": L.dense_init(next(ks), cfg.intermediate_size, d,
+                                     use_bias=False, dtype=dtype),
+            },
+        }
+
+    params = {
+        "embed_tokens": L._trunc_normal(next(keys), (v, d), 0.02, dtype),
+        "layers": jax.vmap(layer_init)(
+            jax.random.split(next(keys), cfg.num_hidden_layers)),
+        "norm": jnp.ones((d,), dtype),
+        "lm_head": L.dense_init(next(keys), d, v, use_bias=False, dtype=dtype),
+    }
+    if with_regress_head:
+        params["stu_regress_head"] = L.dense_init(next(keys), d, d,
+                                                  use_bias=False, dtype=dtype)
+    return params
+
+
+def rope_tables(cfg: LlamaConfig, max_len: Optional[int] = None):
+    cos, sin = R.llama_rope_tables(
+        cfg.head_dim, max_len or cfg.max_position_embeddings, cfg.rope_theta)
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
+# ---------------------------------------------------------------------------
+# Layer body
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(x, n_heads, head_dim):
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, head_dim)
+
+
+def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, mask):
+    """x: [B, S, D]; kv: (k, v) [B, Skv, H, Dh] full key/value sequence;
+    mask: [B, 1, S, Skv] boolean."""
+    b, s, d = x.shape
+    h, hd = cfg.num_attention_heads, cfg.head_dim
+    q = _split_heads(L.dense(p["q_proj"], x), h, hd)
+    cos, sin = tables
+    k_full, v_full = kv
+    q, _ = R.apply_llama_rope(q, q, cos, sin, positions)
+    o = dot_product_attention(q, k_full, v_full, mask=mask,
+                              scale=hd ** -0.5)
+    return L.dense(p["o_proj"], o.reshape(b, s, d))
+
+
+def _project_kv(p, cfg: LlamaConfig, x, tables, positions):
+    h, hd = cfg.num_attention_heads, cfg.head_dim
+    k = _split_heads(L.dense(p["k_proj"], x), h, hd)
+    v = _split_heads(L.dense(p["v_proj"], x), h, hd)
+    cos, sin = tables
+    _, k = R.apply_llama_rope(k, k, cos, sin, positions)
+    return k, v
+
+
+def _layer(p, cfg, x, tables, positions, new_kv_fn, mask):
+    """One decoder layer; `new_kv_fn(k_new, v_new) -> (k_full, v_full,
+    updated_cache_slices)` lets prefill/decode share this body."""
+    h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
+    k_new, v_new = _project_kv(p["self_attn"], cfg, h, tables, positions)
+    k_full, v_full, cache_out = new_kv_fn(k_new, v_new)
+    x = x + _attn(p["self_attn"], cfg, h, tables, positions,
+                  (k_full, v_full), mask)
+    h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    x = x + L.llama_mlp(p["mlp"], h)
+    return x, cache_out
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (no cache) — training loss / fidelity mode
+# ---------------------------------------------------------------------------
+
+
+def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
+                   attention_mask: jax.Array) -> jax.Array:
+    """Causal forward over the whole sequence → final-norm hidden states.
+
+    Matches HF `LlamaModel(...).hidden_states[-1]` (post final norm), the
+    tensor the visual-regression loops read (Emu1 modeling_emu.py:240-243,
+    Emu2 emu.py:139-147).
+    """
+    b, s, _ = inputs_embeds.shape
+    tables = rope_tables(cfg, s)
+    positions = _positions_from_mask(attention_mask)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    causal = (ki <= qi)[None, None]
+    valid = attention_mask[:, None, None, :].astype(bool)
+    mask = jnp.logical_and(causal, valid)
+
+    def body(x, p):
+        x, _ = _layer(p, cfg, x, tables, positions,
+                      lambda k, v: (k, v, 0.0), mask)
+        return x, None
+
+    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    return L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+
+
+def logits(params: dict, hidden: jax.Array) -> jax.Array:
+    return L.dense(params["lm_head"], hidden)
+
+
+def embed(params: dict, token_ids: jax.Array) -> jax.Array:
+    return params["embed_tokens"][token_ids]
+
+
+def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
+    """HF-style position ids for (left-)padded batches: cumsum-1, clipped."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode
+# ---------------------------------------------------------------------------
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> dict:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_attention_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
+            attention_mask: jax.Array, cache: dict
+            ) -> Tuple[jax.Array, dict]:
+    """Run the prompt, filling cache slots [0, S). Returns (hidden, cache).
+
+    hidden is post-final-norm [B, S, D]; attention_mask is [B, S] (left
+    padding supported).
+    """
+    b, s, _ = inputs_embeds.shape
+    max_len = cache["k"].shape[2]
+    tables = rope_tables(cfg, max_len)
+    positions = _positions_from_mask(attention_mask)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    causal = (ki <= qi)[None, None]
+    valid = attention_mask[:, None, None, :].astype(bool)
+    mask = jnp.logical_and(causal, valid)
+    cache_dtype = cache["k"].dtype
+
+    def body(x, xs):
+        p, k_c, v_c = xs
+
+        def write(k_new, v_new):
+            k_cache = jax.lax.dynamic_update_slice(
+                k_c, k_new.astype(cache_dtype), (0, 0, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_c, v_new.astype(cache_dtype), (0, 0, 0, 0))
+            return k_new, v_new, (k_cache, v_cache)
+
+        x, cache_out = _layer(p, cfg, x, tables, positions, write, mask)
+        return x, cache_out
+
+    x, (k_all, v_all) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], cache["k"], cache["v"]))
+    hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return hidden, {"k": k_all, "v": v_all}
+
+
+def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
+                token_embeds: jax.Array, slot: jax.Array,
+                slot_mask: jax.Array, positions: jax.Array
+                ) -> Tuple[jax.Array, dict]:
+    """One decode step.
+
+    token_embeds: [B, 1, D]; slot: scalar cache index to write; slot_mask:
+    [B, max_len] validity of cache slots up to and including `slot`;
+    positions: [B] rope positions of the new token. Returns
+    (post-norm hidden [B, 1, D], updated cache).
+    """
+    b = token_embeds.shape[0]
+    max_len = cache["k"].shape[2]
+    tables = rope_tables(cfg, max_len)
+    pos = positions[:, None]                       # [B, 1]
+    mask = slot_mask[:, None, None, :]             # [B, 1, 1, max_len]
+    cache_dtype = cache["k"].dtype
+
+    def body(x, xs):
+        p, k_c, v_c = xs
+
+        def write(k_new, v_new):
+            k_cache = jax.lax.dynamic_update_slice(
+                k_c, k_new.astype(cache_dtype), (0, slot, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_c, v_new.astype(cache_dtype), (0, slot, 0, 0))
+            return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
+                    (k_cache, v_cache))
+
+        x, cache_out = _layer(p, cfg, x, tables, pos, write, mask)
+        return x, cache_out
+
+    x, (k_all, v_all) = jax.lax.scan(
+        body, token_embeds, (params["layers"], cache["k"], cache["v"]))
+    hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return hidden, {"k": k_all, "v": v_all}
+
+
+def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:
+    """Gather cache rows on beam-search reorder. beam_indices: [B]."""
+    return jax.tree_util.tree_map(lambda c: c[:, beam_indices], cache)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding rules (stacked tensors: leading layer dim)
+# ---------------------------------------------------------------------------
+
+sharding_rules = [
+    (r"layers/self_attn/(q|k|v)_proj/kernel", P(None, None, "model")),
+    (r"layers/self_attn/o_proj/kernel", P(None, "model", None)),
+    (r"layers/mlp/(gate|up)/kernel", P(None, None, "model")),
+    (r"layers/mlp/down/kernel", P(None, "model", None)),
+    (r"embed_tokens", P("model", None)),
+    (r"lm_head/kernel", P(None, "model")),
+]
+
+cache_sharding_rules = [
+    (r"[kv]$", P(None, "data", None, "model", None)),
+]

@@ -1,0 +1,200 @@
+"""EVA-CLIP Vision Transformer (Emu1's ViT-g and Emu2's ViT-4B).
+
+Behavioral model (ref: Emu1/models/eva_vit_model.py:491-688,
+Emu2/emu/eva_vit.py:255-445):
+
+- patchify (conv k=p=s → here a patchify-matmul on the MXU), prepend cls,
+  add absolute position embeddings;
+- N transformer blocks, pre-norm (Emu1) or post-norm (Emu2), fused QKV
+  projection with q/v biases only (k bias is zero, ref eva_vit_model.py:293),
+  exact-GELU MLP with `int(width*mlp_ratio)` hidden, optional SwiGLU /
+  sub-LN / layerscale / 2D-RoPE variants;
+- `forward_features` returns raw block output, [B, n_patch+1, width] —
+  the Emu composites consume this (Emu1/models/modeling_emu.py:92,
+  Emu2/emu/emu.py:80); Emu1's classifier norm+head exist only for
+  checkpoint-shape parity.
+
+TPU design: layers are stacked along a leading axis and executed with
+`lax.scan` — one compiled block body regardless of depth (40/64 layers),
+weights TP-shardable with a single PartitionSpec per stacked tensor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from emu_tpu.config import VisionConfig
+from emu_tpu.ops import layers as L
+from emu_tpu.ops import rope as R
+from emu_tpu.ops.attention import dot_product_attention
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 16))
+    w, depth = cfg.width, cfg.layers
+    ahd = cfg.num_heads * cfg.head_width          # all_head_dim
+    hidden = cfg.mlp_hidden
+
+    def stack(fn):
+        return jax.vmap(fn)(jax.random.split(next(keys), depth))
+
+    def block_init(k):
+        ks = iter(jax.random.split(k, 8))
+        p = {
+            "norm1": L.layer_norm_init(w, dtype),
+            "norm2": L.layer_norm_init(w, dtype),
+            "attn": {
+                "qkv": {"kernel": L._trunc_normal(next(ks), (w, 3 * ahd),
+                                                  0.02, dtype)},
+                "q_bias": jnp.zeros((ahd,), dtype),
+                "v_bias": jnp.zeros((ahd,), dtype),
+                "proj": L.dense_init(next(ks), ahd, w, dtype=dtype),
+            },
+        }
+        if cfg.subln:
+            p["attn"]["inner_ln"] = L.layer_norm_init(ahd, dtype)
+        if cfg.naiveswiglu:
+            p["mlp"] = {
+                "w1": L.dense_init(next(ks), w, hidden, dtype=dtype),
+                "w2": L.dense_init(next(ks), w, hidden, dtype=dtype),
+                "w3": L.dense_init(next(ks), hidden, w, dtype=dtype),
+            }
+            if cfg.subln:
+                p["mlp"]["ffn_ln"] = L.layer_norm_init(hidden, dtype)
+        else:
+            p["mlp"] = {
+                "fc1": L.dense_init(next(ks), w, hidden, dtype=dtype),
+                "fc2": L.dense_init(next(ks), hidden, w, dtype=dtype),
+            }
+        if cfg.ls_init_value is not None:
+            p["gamma_1"] = jnp.full((w,), cfg.ls_init_value, dtype)
+            p["gamma_2"] = jnp.full((w,), cfg.ls_init_value, dtype)
+        return p
+
+    params = {
+        "patch_embed": L.patch_embed_init(next(keys), cfg.patch_size, 3, w,
+                                          dtype),
+        "cls_token": jnp.zeros((1, 1, w), dtype),
+        "blocks": stack(block_init),
+    }
+    if cfg.use_abs_pos_emb:
+        params["pos_embed"] = L._trunc_normal(next(keys),
+                                              (1, cfg.seq_len, w), 0.02, dtype)
+    if cfg.num_classes > 0:
+        params["norm"] = L.layer_norm_init(w, dtype)
+        params["head"] = L.dense_init(next(keys), w, cfg.num_classes,
+                                      dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _block(cfg: VisionConfig, p: dict, x: jax.Array,
+           rope_tables=None) -> jax.Array:
+    def attn(h):
+        b, s, _ = h.shape
+        ahd = cfg.num_heads * cfg.head_width
+        k_bias = jnp.zeros_like(p["attn"]["q_bias"])
+        qkv_bias = jnp.concatenate([p["attn"]["q_bias"], k_bias,
+                                    p["attn"]["v_bias"]])
+        qkv = L.dense({"kernel": p["attn"]["qkv"]["kernel"],
+                       "bias": qkv_bias}, h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_width)
+        k = k.reshape(b, s, cfg.num_heads, cfg.head_width)
+        v = v.reshape(b, s, cfg.num_heads, cfg.head_width)
+        if rope_tables is not None:
+            cos, sin = rope_tables
+            # rotate patch tokens only, cls passes through
+            # (ref eva_vit_model.py:305-321)
+            q = jnp.concatenate(
+                [q[:, :1], R.apply_vision_rope(q[:, 1:], cos, sin)], axis=1)
+            k = jnp.concatenate(
+                [k[:, :1], R.apply_vision_rope(k[:, 1:], cos, sin)], axis=1)
+        o = dot_product_attention(q, k, v, scale=cfg.head_width ** -0.5)
+        o = o.reshape(b, s, ahd)
+        if "inner_ln" in p["attn"]:
+            o = L.layer_norm(p["attn"]["inner_ln"], o, cfg.ln_eps)
+        return L.dense(p["attn"]["proj"], o)
+
+    def mlp(h):
+        if cfg.naiveswiglu:
+            return L.swiglu_mlp(p["mlp"], h, cfg.ln_eps)
+        return L.gelu_mlp(p["mlp"], h, cfg.ln_eps)
+
+    g1 = p.get("gamma_1")
+    g2 = p.get("gamma_2")
+
+    def scaled(y, g):
+        return y if g is None else y * g.astype(y.dtype)
+
+    if cfg.postnorm:
+        x = x + scaled(L.layer_norm(p["norm1"], attn(x), cfg.ln_eps), g1)
+        x = x + scaled(L.layer_norm(p["norm2"], mlp(x), cfg.ln_eps), g2)
+    else:
+        x = x + scaled(attn(L.layer_norm(p["norm1"], x, cfg.ln_eps)), g1)
+        x = x + scaled(mlp(L.layer_norm(p["norm2"], x, cfg.ln_eps)), g2)
+    return x
+
+
+def forward_features(params: dict, cfg: VisionConfig, images: jax.Array,
+                     compute_dtype=None) -> jax.Array:
+    """[B, H, W, 3] normalized images → [B, n_patch+1, width] raw features."""
+    if compute_dtype is not None:
+        images = images.astype(compute_dtype)
+    x = L.patch_embed(params["patch_embed"], images, cfg.patch_size)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
+                           (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    if "pos_embed" in params:
+        x = x + params["pos_embed"].astype(x.dtype)
+
+    rope_tables = None
+    if cfg.rope:
+        cos, sin = R.vision_rope_tables(
+            cfg.head_width // 2, cfg.pt_hw_seq_len,
+            cfg.grid_size if cfg.intp_freq else None)
+        rope_tables = (jnp.asarray(cos), jnp.asarray(sin))
+
+    def body(h, blk):
+        return _block(cfg, blk, h, rope_tables), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return x
+
+
+def forward_head(params: dict, cfg: VisionConfig, features: jax.Array
+                 ) -> jax.Array:
+    """Classifier path (cls token → norm → head); unused by Emu composites."""
+    x = L.layer_norm(params["norm"], features, cfg.ln_eps)
+    return L.dense(params["head"], x[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding rules (over the "model" mesh axis)
+# ---------------------------------------------------------------------------
+
+# Stacked block tensors carry a leading layer dim → shard dim 1/2.
+sharding_rules = [
+    (r"blocks/attn/qkv/kernel", P(None, None, "model")),
+    (r"blocks/attn/(q|v)_bias", P(None, "model")),
+    (r"blocks/attn/proj/kernel", P(None, "model", None)),
+    (r"blocks/mlp/(fc1|w1|w2)/kernel", P(None, None, "model")),
+    (r"blocks/mlp/(fc1|w1|w2)/bias", P(None, "model")),
+    (r"blocks/mlp/(fc2|w3)/kernel", P(None, "model", None)),
+    (r"patch_embed/kernel", P(None, "model")),
+]

@@ -1,0 +1,172 @@
+"""Core neural-net ops, TPU-first.
+
+Design notes:
+- Parameters are plain pytrees (nested dicts of jnp arrays); every op is a
+  pure function `op(params, x, ...)`. This keeps pjit/GSPMD sharding fully
+  explicit and avoids framework magic on the hot path.
+- Matmul-heavy ops keep operands in the compute dtype (bf16 on TPU, fed to
+  the MXU) while normalizations run in fp32, matching the reference's
+  `LayerNormFp32` semantics (ref: Emu1/models/transformer.py:25-31).
+- Linear kernels are stored as [in, out] (column-major for `x @ W`), i.e.
+  transposed w.r.t. torch's `nn.Linear.weight`; the checkpoint converter
+  handles the transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense / linear
+# ---------------------------------------------------------------------------
+
+
+def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
+               std: float = 0.02, dtype=jnp.float32) -> dict:
+    p = {"kernel": _trunc_normal(key, (in_dim, out_dim), std, dtype)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def dense(params: dict, x: jax.Array) -> jax.Array:
+    """y = x @ W (+ b). Accumulates in fp32 on the MXU."""
+    y = jnp.dot(x, params["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params: dict, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm computed in fp32, output cast back to input dtype.
+
+    Matches the reference's LayerNormFp32 used whenever the model runs in
+    bf16 (ref: Emu1/models/transformer.py:25-31, model.py:106).
+    """
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def rms_norm(scale: jax.Array, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LLaMA RMSNorm / T5LayerNorm: no mean subtraction, no bias.
+
+    Variance in fp32; scale applied in the input dtype after the cast back,
+    matching HF LlamaRMSNorm (hidden.to(fp32) → rsqrt → to(dtype) → * weight).
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = (xf * jax.lax.rsqrt(var + eps)).astype(dtype)
+    return y * scale.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+
+
+def gelu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
+             ) -> jax.Array:
+    """ViT MLP: Linear → exact GELU → (optional sub-LN) → Linear.
+
+    Ref: Emu1/models/eva_vit_model.py Mlp (torch nn.GELU = exact erf gelu).
+    """
+    h = dense(params["fc1"], x)
+    h = jax.nn.gelu(h, approximate=False)
+    if "ffn_ln" in params:
+        h = layer_norm(params["ffn_ln"], h, eps=subln_eps or 1e-6)
+    return dense(params["fc2"], h)
+
+
+def swiglu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
+               ) -> jax.Array:
+    """EVA SwiGLU MLP: silu(w1(x)) * w2(x) → (optional sub-LN) → w3.
+
+    Ref: Emu2/emu/eva_vit.py SwiGLU (:110-140).
+    """
+    h = jax.nn.silu(dense(params["w1"], x)) * dense(params["w2"], x)
+    if "ffn_ln" in params:
+        h = layer_norm(params["ffn_ln"], h, eps=subln_eps or 1e-6)
+    return dense(params["w3"], h)
+
+
+def llama_mlp(params: dict, x: jax.Array) -> jax.Array:
+    """LLaMA gated MLP: down(silu(gate(x)) * up(x))."""
+    return dense(params["down"],
+                 jax.nn.silu(dense(params["gate"], x)) * dense(params["up"], x))
+
+
+# ---------------------------------------------------------------------------
+# Patch embedding
+# ---------------------------------------------------------------------------
+
+
+def patch_embed_init(key, patch_size: int, in_chans: int, width: int,
+                     dtype=jnp.float32) -> dict:
+    # Stored as a matmul kernel [p*p*c, width] — the stride==kernel conv of
+    # the reference (eva_vit PatchEmbed, Conv2d k=p s=p) is exactly a
+    # patchify-reshape followed by a dense layer, which keeps the whole
+    # embedding on the MXU instead of a conv window walk.
+    k = _trunc_normal(key, (patch_size * patch_size * in_chans, width), 0.02,
+                      dtype)
+    return {"kernel": k, "bias": jnp.zeros((width,), dtype)}
+
+
+def patch_embed(params: dict, images: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, C] images → [B, (H/p)*(W/p), width] patch tokens.
+
+    NHWC layout (TPU-native). Equivalent to the reference's Conv2d
+    patch projection (ref: Emu1/models/eva_vit_model.py:429-452) —
+    the converter reshapes the torch conv weight [w, c, p, p] into our
+    [p*p*c, w] matmul kernel with matching (h, w, c) patch-pixel order.
+    """
+    b, h, w, c = images.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = images.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)          # [B, gh, gw, p, p, c]
+    x = x.reshape(b, gh * gw, p * p * c)
+    return dense(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Token-grid pooling (Emu2 adapter)
+# ---------------------------------------------------------------------------
+
+
+def avg_pool_tokens(tokens: jax.Array, n_query: int) -> jax.Array:
+    """Average-pool a square token grid down to n_query tokens.
+
+    [B, S, C] with S a perfect square → [B, n_query, C]; equivalent to the
+    reference's permute + F.avg_pool2d + flatten (Emu2/emu/emu.py:77-90).
+    """
+    b, s, c = tokens.shape
+    g = int(round(s ** 0.5))
+    q = int(round(n_query ** 0.5))
+    stride = g // q
+    x = tokens.reshape(b, q, stride, q, stride, c)
+    x = jnp.mean(x.astype(jnp.float32), axis=(2, 4))
+    return x.reshape(b, q * q, c).astype(tokens.dtype)
