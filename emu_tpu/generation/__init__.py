@@ -1,0 +1,5 @@
+from emu_tpu.generation.engine import (  # noqa: F401
+    GenerationConfig,
+    generate,
+    llama_generate,
+)
