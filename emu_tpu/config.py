@@ -242,7 +242,7 @@ class Emu2Config:
                                 postnorm=True, num_classes=0),
             llama=LlamaConfig(hidden_size=64, intermediate_size=128,
                               num_hidden_layers=2, num_attention_heads=4,
-                              vocab_size=256, extended_vocab_size=290),
+                              vocab_size=256, extended_vocab_size=528),
             n_query=4, v_query=4)
 
 

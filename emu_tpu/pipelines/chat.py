@@ -1,0 +1,160 @@
+"""EmuChatGeneration: the Emu2 user-facing multimodal chat API.
+
+Behavioral model: Emu2/emu/chat.py:20-232 — plain (`List[str | Image]`) and
+chat (`List[List[str | Image]]`) input formats, USER/ASSISTANT role
+alternation with `</s>` between turns, system message, grounding mode
+(`<grounding>` suffix), `[VIDEO]`/`[/VIDEO]` span handling where each frame
+becomes a `[gIMG]`-placeholder image, bicubic-448 CLIP preprocessing, and
+the reference's generation defaults (beam 5, length_penalty −1).
+
+The reference's ModelParallelMixin layer-placement is replaced by mesh
+sharding: pass `mesh=` to shard the whole parameter tree over
+("data", "model") — GSPMD then runs the same `__call__` tensor-parallel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from emu_tpu import tokenization as T
+from emu_tpu.config import Emu2Config
+from emu_tpu.generation import GenerationConfig
+from emu_tpu.models import emu2
+from emu_tpu.pipelines import preprocess
+
+
+class EmuChatGeneration:
+    def __init__(self, params: dict, cfg: Emu2Config,
+                 tokenizer: Optional[T.EmuTokenizer] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer or T.EmuTokenizer.emu2(
+            instruct=cfg.instruct)
+        self.image_placeholder = (
+            T.IMG + T.IMAGE * cfg.n_query + T.IMG_END)
+        self.video_placeholder = (
+            T.IMG + T.GIMG * cfg.v_query + T.IMG_END)
+        if mesh is not None:
+            from emu_tpu.parallel import shard_params
+            params = shard_params(params, mesh, emu2.sharding_rules)
+        self.params = params
+
+    @classmethod
+    def from_config(cls, instruct: bool = False, seed: int = 0,
+                    dtype=None, **kwargs) -> "EmuChatGeneration":
+        """Random-init instance (ref chat.py:215-232: n_query 256 for
+        instruct, 64 for base)."""
+        import jax.numpy as jnp
+        cfg = Emu2Config.chat() if instruct else Emu2Config()
+        params = emu2.init(jax.random.PRNGKey(seed), cfg,
+                           dtype or jnp.bfloat16)
+        return cls(params, cfg, **kwargs)
+
+    @classmethod
+    def from_pretrained(cls, path: str, instruct: bool = False,
+                        dtype=None, **kwargs) -> "EmuChatGeneration":
+        import jax.numpy as jnp
+        from emu_tpu.checkpoint import load_emu2_checkpoint
+        cfg = Emu2Config.chat() if instruct else Emu2Config()
+        params = load_emu2_checkpoint(path, cfg, dtype or jnp.bfloat16)
+        return cls(params, cfg, **kwargs)
+
+    # -- input assembly (ref chat.py:121-195) -------------------------------
+
+    def _prepare_inputs(self, inputs):
+        is_video = False
+        text, images, videos = "", [], []
+        size = self.cfg.vision.image_size
+        for x in inputs:
+            if x == T.FAKE_VIDEO_END:
+                is_video = False
+            elif isinstance(x, str):
+                if x == T.VIDEO:
+                    is_video = True
+                text += x
+            elif is_video:
+                text += T.VID_PLACEHOLDER
+                videos.append(preprocess.preprocess_image(x, size))
+            else:
+                text += T.IMG_PLACEHOLDER
+                images.append(preprocess.preprocess_image(x, size))
+        return text, images, videos
+
+    def _prepare_chat_inputs(self, inputs, is_grounding: bool):
+        text = (T.GROUND_SYSTEM_MESSAGE if is_grounding
+                else T.SYSTEM_MESSAGE)
+        images, videos = [], []
+        prev = None
+        for msg in inputs:
+            if prev == T.ASSISTANT:
+                text += f"{T.EOS}{T.USER}: "
+                prev = T.USER
+            elif prev is None:
+                text += f" {T.USER}: "
+                prev = T.USER
+            else:
+                text += f" {T.ASSISTANT}: "
+                prev = T.ASSISTANT
+            t, im, vid = self._prepare_inputs(msg)
+            text += t
+            images += im
+            videos += vid
+        text += f" {T.ASSISTANT}:"
+        if is_grounding:
+            text += T.GRD
+        return text, images, videos
+
+    # -- generation ----------------------------------------------------------
+
+    def __call__(self, inputs: List, is_grounding: bool = False,
+                 num_beams: int = 5, max_new_tokens: int = 10,
+                 min_len: int = 1, do_sample: bool = False,
+                 top_p: Optional[float] = None, top_k: Optional[int] = None,
+                 temperature: Optional[float] = None,
+                 length_penalty: float = -1.0,
+                 repetition_penalty: float = 1.0,
+                 skip_special_tokens: bool = True, rng=None) -> str:
+        assert isinstance(inputs, list)
+        if inputs and isinstance(inputs[0], list):
+            assert len(inputs) % 2 == 1, "last message must be user input"
+            text, images, videos = self._prepare_chat_inputs(inputs,
+                                                             is_grounding)
+        else:
+            text, images, videos = self._prepare_inputs(inputs)
+
+        text = text.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
+        text = text.replace(T.VID_PLACEHOLDER, self.video_placeholder)
+        ids, mask = self.tokenizer.encode_batch([text], padding_side="left")
+
+        import jax.numpy as jnp
+        image_embeds = video_embeds = None
+        if images:
+            batch = jnp.asarray(np.stack(images))
+            e = emu2.encode_image_lm(self.params, self.cfg, batch,
+                                     self.cfg.n_query)
+            image_embeds = e.reshape(-1, e.shape[-1])
+        if videos:
+            batch = jnp.asarray(np.stack(videos))
+            e = emu2.encode_image_lm(self.params, self.cfg, batch,
+                                     self.cfg.v_query)
+            video_embeds = e.reshape(-1, e.shape[-1])
+
+        gcfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, min_length=min_len,
+            num_beams=num_beams, do_sample=do_sample,
+            temperature=temperature or 1.0, top_k=top_k or 0,
+            top_p=top_p or 1.0, repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id)
+        out = emu2.generate(self.params, self.cfg, jnp.asarray(ids),
+                            jnp.asarray(mask), gcfg,
+                            self.tokenizer.image_token_id,
+                            image_embeds=image_embeds,
+                            video_token_id=self.tokenizer.gimg_token_id,
+                            video_embeds=video_embeds, rng=rng)
+        return self.tokenizer.batch_decode(np.asarray(out),
+                                           skip_special_tokens)[0]

@@ -1,0 +1,147 @@
+"""EmuGenerationPipeline: Emu1 text/image-conditioned image generation.
+
+Behavioral model: Emu1/models/pipeline.py:20-262 —
+- interleaved `[str | Image]` inputs become a prompt with `[IMG]<image>*32
+  [/IMG]` runs per image;
+- classifier-free guidance with the pair [prompt, ""] (pipeline.py:167-170),
+  noise mix `uncond + g*(cond - uncond)` with cond first (:122-125);
+- 32 visual embeddings regressed by the multimodal encoder condition an
+  SD1.5-class UNet (cross_attention_dim = 5120) through a 50-step PNDM
+  (PLMS) schedule at 512×512; VAE decode, optional safety checker, PIL out.
+
+TPU design: the whole CFG denoise loop jits into one lax.fori_loop program
+(both CFG branches in a single [2B] UNet batch); latents stay on device
+from randn to VAE decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emu_tpu import tokenization as T
+from emu_tpu.config import (Emu1Config, SchedulerConfig, UNetConfig,
+                            VAEConfig)
+from emu_tpu.diffusion import PNDMScheduler, unet, vae
+from emu_tpu.models import emu1
+from emu_tpu.pipelines import preprocess
+
+
+class EmuGenerationPipeline:
+    def __init__(self, emu_params: dict, emu_cfg: Emu1Config,
+                 unet_params: dict, unet_cfg: UNetConfig,
+                 vae_params: dict, vae_cfg: VAEConfig,
+                 tokenizer: Optional[T.EmuTokenizer] = None,
+                 scheduler_cfg: SchedulerConfig = SchedulerConfig(),
+                 safety_checker: Optional[Callable] = None):
+        self.emu_params, self.emu_cfg = emu_params, emu_cfg
+        self.unet_params, self.unet_cfg = unet_params, unet_cfg
+        self.vae_params, self.vae_cfg = vae_params, vae_cfg
+        self.scheduler_cfg = scheduler_cfg
+        self.tokenizer = tokenizer or T.EmuTokenizer.emu1(
+            instruct=emu_cfg.instruct)
+        self.safety_checker = safety_checker
+        self.image_placeholder = (
+            T.IMG + T.IMAGE * emu_cfg.n_causal + T.IMG_END)
+        self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
+
+    @classmethod
+    def from_config(cls, seed: int = 0, dtype=jnp.bfloat16, tiny: bool = False,
+                    **kwargs) -> "EmuGenerationPipeline":
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        if tiny:
+            emu_cfg = Emu1Config.tiny()
+            unet_cfg = UNetConfig.tiny(
+                cross_attention_dim=emu_cfg.llama.hidden_size)
+            vae_cfg = VAEConfig.tiny()
+        else:
+            emu_cfg = Emu1Config()
+            unet_cfg = UNetConfig.emu1_sd15()
+            vae_cfg = VAEConfig.sd15()
+        return cls(emu1.init(k1, emu_cfg, dtype), emu_cfg,
+                   unet.init(k2, unet_cfg, dtype), unet_cfg,
+                   vae.init(k3, vae_cfg, dtype), vae_cfg, **kwargs)
+
+    def _encode_inputs(self, inputs, do_cfg: bool) -> jax.Array:
+        text, images = "", []
+        for x in inputs:
+            if isinstance(x, str):
+                text += x
+            else:
+                text += T.IMG_PLACEHOLDER
+                images.append(preprocess.preprocess_image(
+                    x, self.emu_cfg.vision.image_size))
+        prompts = [text, ""] if do_cfg else [text]
+
+        image_embeds = None
+        if images:
+            batch = jnp.asarray(np.stack(images))
+            e = emu1.encode_image(self.emu_params, self.emu_cfg, batch)
+            image_embeds = e.reshape(-1, e.shape[-1])
+
+        # expand placeholders, append the regression trigger [IMG]
+        prompts = [p.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
+                   + T.IMG for p in prompts]
+        ids, mask = self.tokenizer.encode_batch(prompts, padding_side="left")
+        return emu1.generate_image_embeds(
+            self.emu_params, self.emu_cfg, jnp.asarray(ids),
+            jnp.asarray(mask), image_embeds, self.tokenizer.image_token_id)
+
+    def __call__(self, inputs: List, height: int = 512, width: int = 512,
+                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                 rng: Optional[jax.Array] = None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        do_cfg = guidance_scale > 1.0
+        prompt_embeds = self._encode_inputs(inputs, do_cfg)  # [2|1, 32, d]
+
+        h = height // self.vae_scale_factor
+        w = width // self.vae_scale_factor
+        latents = jax.random.normal(
+            rng, (1, h, w, self.unet_cfg.in_channels), prompt_embeds.dtype)
+        image = _denoise_pndm(
+            self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
+            self.scheduler_cfg, num_inference_steps, latents, prompt_embeds,
+            jnp.float32(guidance_scale), do_cfg)
+        image = np.asarray(image)
+        nsfw = None
+        if self.safety_checker is not None:
+            image, nsfw = self.safety_checker(image)
+        return _to_pil(image)[0], nsfw
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 9))
+def _denoise_pndm(unet_params, unet_cfg, vae_params, vae_cfg, sched_cfg,
+                  steps: int, latents, prompt_embeds, guidance_scale,
+                  do_cfg: bool):
+    sched = PNDMScheduler(sched_cfg, num_inference_steps=steps)
+    state = sched.init_state(latents.shape)
+    n_branches = prompt_embeds.shape[0] if do_cfg else 1
+
+    def body(i, carry):
+        latents, state = carry
+        inp = jnp.concatenate([latents] * n_branches, 0) if do_cfg else latents
+        t = jnp.broadcast_to(sched.timesteps[i].astype(jnp.float32),
+                             (inp.shape[0],))
+        eps = unet.forward(unet_params, unet_cfg, inp, t, prompt_embeds)
+        if do_cfg:
+            cond, uncond = jnp.split(eps, 2, axis=0)
+            eps = uncond + guidance_scale * (cond - uncond)
+        latents, state = sched.step(eps, i, latents, state)
+        return latents, state
+
+    latents, _ = jax.lax.fori_loop(0, sched.num_steps, body, (latents, state))
+    img = vae.decode(vae_params, vae_cfg,
+                     latents / jnp.asarray(vae_cfg.scaling_factor,
+                                           latents.dtype))
+    return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+
+def _to_pil(images: np.ndarray):
+    from PIL import Image
+    images = (images * 255).round().astype("uint8")
+    return [Image.fromarray(im) for im in images]

@@ -1,0 +1,154 @@
+"""Checkpoint converter validation against live HF torch models.
+
+The converter's LLaMA/T5 mappings are checked by converting real HF state
+dicts and matching logits/hidden states (the same oracles as the parity
+tests); UNet/VAE mappings are checked by shape-compatibility with our init
+trees (synthetic state dicts with diffusers names).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from emu_tpu import checkpoint as C  # noqa: E402
+from emu_tpu.config import T5Config  # noqa: E402
+from emu_tpu.models import llama, t5  # noqa: E402
+from tests.test_llama_parity import CFG as LLAMA_CFG, _hf_model  # noqa: E402
+
+
+def test_convert_llama_matches_hf_logits():
+    hf = _hf_model()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = C.convert_llama(C._SD(sd), LLAMA_CFG)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, LLAMA_CFG.vocab_size, size=(2, 7))
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).logits.numpy()
+    embeds = llama.embed(params, jnp.asarray(ids))
+    hidden = llama.forward_hidden(params, LLAMA_CFG, embeds,
+                                  jnp.asarray(mask))
+    ours = np.asarray(llama.logits(params, hidden))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_convert_t5_decoder_matches_hf():
+    from tests.test_t5_parity import _hf_decoder, CFG as T5_CFG
+    hf = _hf_decoder()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = C.convert_t5_decoder(C._SD(sd), T5_CFG)
+    rng = np.random.default_rng(1)
+    tokens = rng.standard_normal((2, 6, T5_CFG.d_model)).astype(np.float32)
+    enc = rng.standard_normal((2, 9, T5_CFG.d_model)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.tensor(tokens),
+                 encoder_hidden_states=torch.tensor(enc),
+                 ).last_hidden_state.numpy()
+    ours = np.asarray(t5.decoder_forward(params, T5_CFG,
+                                         jnp.asarray(tokens),
+                                         jnp.asarray(enc)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_convert_unet_shapes_roundtrip():
+    """Synthetic diffusers-named state dict converts to a tree with the same
+    treedef+shapes as our init (tiny SDXL config)."""
+    from emu_tpu.config import UNetConfig
+    from emu_tpu.diffusion import unet
+    cfg = UNetConfig.tiny(cross_attention_dim=16, sdxl=True)
+    target = unet.init(jax.random.PRNGKey(0), cfg)
+
+    sd = _synthesize_diffusers_unet_sd(target, cfg)
+    converted = C.convert_unet(sd, cfg)
+    t1 = jax.tree_util.tree_structure(target)
+    t2 = jax.tree_util.tree_structure(converted)
+    assert t1 == t2
+    for a, b in zip(jax.tree_util.tree_leaves(target),
+                    jax.tree_util.tree_leaves(converted)):
+        assert a.shape == b.shape
+
+
+def _synthesize_diffusers_unet_sd(target, cfg):
+    """Invert our param tree into diffusers-style names/layouts."""
+    sd = {}
+
+    def put_linear(name, p):
+        sd[name + ".weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            sd[name + ".bias"] = np.asarray(p["bias"])
+
+    def put_conv(name, p):
+        sd[name + ".weight"] = np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+        sd[name + ".bias"] = np.asarray(p["bias"])
+
+    def put_ln(name, p):
+        sd[name + ".weight"] = np.asarray(p["scale"])
+        sd[name + ".bias"] = np.asarray(p["bias"])
+
+    def put_resnet(name, p):
+        put_ln(name + ".norm1", p["norm1"])
+        put_conv(name + ".conv1", p["conv1"])
+        put_ln(name + ".norm2", p["norm2"])
+        put_conv(name + ".conv2", p["conv2"])
+        if "time_emb_proj" in p:
+            put_linear(name + ".time_emb_proj", p["time_emb_proj"])
+        if "conv_shortcut" in p:
+            put_conv(name + ".conv_shortcut", p["conv_shortcut"])
+
+    def put_attnblock(name, p):
+        for an in ("attn1", "attn2"):
+            for l in ("to_q", "to_k", "to_v"):
+                put_linear(f"{name}.{an}.{l}", p[an][l])
+            put_linear(f"{name}.{an}.to_out.0", p[an]["to_out"])
+        for ln_name in ("norm1", "norm2", "norm3"):
+            put_ln(f"{name}.{ln_name}", p[ln_name])
+        put_linear(name + ".ff.net.0.proj", p["ff"]["proj_in"])
+        put_linear(name + ".ff.net.2", p["ff"]["proj_out"])
+
+    def put_tf2d(name, p):
+        put_ln(name + ".norm", p["norm"])
+        if cfg.use_linear_projection:
+            put_linear(name + ".proj_in", p["proj_in"])
+            put_linear(name + ".proj_out", p["proj_out"])
+        else:
+            put_conv(name + ".proj_in", p["proj_in"])
+            put_conv(name + ".proj_out", p["proj_out"])
+        for j, blk in enumerate(p["blocks"]):
+            put_attnblock(f"{name}.transformer_blocks.{j}", blk)
+
+    put_conv("conv_in", target["conv_in"])
+    put_linear("time_embedding.linear_1",
+               target["time_embedding"]["linear_1"])
+    put_linear("time_embedding.linear_2",
+               target["time_embedding"]["linear_2"])
+    if "add_embedding" in target:
+        put_linear("add_embedding.linear_1",
+                   target["add_embedding"]["linear_1"])
+        put_linear("add_embedding.linear_2",
+                   target["add_embedding"]["linear_2"])
+    for i, blk in enumerate(target["down_blocks"]):
+        for j, r in enumerate(blk["resnets"]):
+            put_resnet(f"down_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(blk["attentions"]):
+            put_tf2d(f"down_blocks.{i}.attentions.{j}", a)
+        if "downsamplers" in blk:
+            put_conv(f"down_blocks.{i}.downsamplers.0.conv",
+                     blk["downsamplers"])
+    for j, r in enumerate(target["mid_block"]["resnets"]):
+        put_resnet(f"mid_block.resnets.{j}", r)
+    put_tf2d("mid_block.attentions.0", target["mid_block"]["attentions"][0])
+    for i, blk in enumerate(target["up_blocks"]):
+        for j, r in enumerate(blk["resnets"]):
+            put_resnet(f"up_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(blk["attentions"]):
+            put_tf2d(f"up_blocks.{i}.attentions.{j}", a)
+        if "upsamplers" in blk:
+            put_conv(f"up_blocks.{i}.upsamplers.0.conv", blk["upsamplers"])
+    put_ln("conv_norm_out", target["conv_norm_out"])
+    put_conv("conv_out", target["conv_out"])
+    return sd

@@ -1,0 +1,105 @@
+"""Pipeline-level tests: tokenizer semantics + tiny end-to-end flows.
+
+These drive the public pipeline APIs exactly the way the reference's README
+snippets drive EmuChatGeneration / EmuVisualGeneration /
+EmuGenerationPipeline — on tiny random-weight configs.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from emu_tpu import tokenization as T
+from emu_tpu.config import Emu1Config, Emu2Config
+
+
+def _tiny_tokenizer(variant: str):
+    cfg = Emu1Config.tiny() if variant == "emu1" else Emu2Config.tiny()
+    specials = (T.emu1_special_tokens() if variant == "emu1"
+                else T.emu2_special_tokens())
+    return T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size), specials,
+                          base_vocab=cfg.llama.vocab_size)
+
+
+def test_special_token_id_assignment():
+    tok = T.EmuTokenizer.emu1()
+    assert tok.pad_token_id == 32000
+    assert tok.img_token_id == 32001          # ref modeling_llama: [IMG]
+    assert tok.img_end_token_id == 32002
+    assert tok.image_token_id == 32003        # ref comment "# 32003"
+    tok2 = T.EmuTokenizer.emu2(instruct=True)
+    assert tok2.image_token_id == 32003
+    assert tok2.token_to_id("<grounding>") == 32008
+    assert tok2.token_to_id("<patch_index_0000>") == 32015
+    assert tok2.token_to_id("<patch_index_0256>") == 32271
+    assert tok2.token_to_id(T.USER) == 32272
+    assert tok2.token_to_id(T.ASSISTANT) == 32273
+    assert tok2.vocab_size == 32274
+
+
+def test_tokenizer_placeholder_expansion_roundtrip():
+    tok = _tiny_tokenizer("emu1")
+    text = "a cat [IMG]" + "<image>" * 4 + "[/IMG] sitting"
+    ids = tok.encode(text)
+    image_positions = [i for i, t in enumerate(ids)
+                       if t == tok.image_token_id]
+    assert len(image_positions) == 4
+    # contiguous run between [IMG] and [/IMG]
+    assert ids[image_positions[0] - 1] == tok.img_token_id
+    assert ids[image_positions[-1] + 1] == tok.img_end_token_id
+
+
+def test_left_padding_batch():
+    tok = _tiny_tokenizer("emu2")
+    ids, mask = tok.encode_batch(["short", "a much longer prompt here"],
+                                 padding_side="left")
+    assert ids.shape == mask.shape
+    assert mask[0, 0] == 0 and mask[0, -1] == 1
+    assert (ids[0][mask[0] == 0] == tok.pad_token_id).all()
+
+
+def test_chat_pipeline_end_to_end():
+    from PIL import Image
+    from emu_tpu.models import emu2
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    import jax
+    cfg = Emu2Config.tiny()
+    params = emu2.init(jax.random.PRNGKey(0), cfg)
+    pipe = EmuChatGeneration(params, cfg, tokenizer=_tiny_tokenizer("emu2"))
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((64, 64, 3)) * 255).astype("uint8"))
+    out = pipe([img, "describe this image"], num_beams=2, max_new_tokens=4)
+    assert isinstance(out, str)
+
+    # chat format with role alternation
+    out = pipe([[img, "what is this?"]], num_beams=1, max_new_tokens=3)
+    assert isinstance(out, str)
+
+
+def test_visual_generation_pipeline_end_to_end():
+    from PIL import Image
+    from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
+    pipe = EmuVisualGeneration.from_config(tiny=True, dtype=jnp.float32)
+    pipe.tokenizer = _tiny_tokenizer("emu2")
+    out = pipe("a photo of a cat", num_inference_steps=3, height=32,
+               width=32)
+    assert out.image.size == (32, 32)
+    # autoencoding mode: single image, no text; negative cached
+    img = Image.fromarray(np.zeros((56, 56, 3), "uint8"))
+    out2 = pipe(img, num_inference_steps=2, height=32, width=32)
+    assert "[NULL_IMAGE]" in pipe.negative_prompt
+    assert out2.image.size == (32, 32)
+    # generation-mode negative cached after text call
+    assert "" in pipe.negative_prompt
+
+
+def test_emu1_generation_pipeline_end_to_end():
+    from PIL import Image
+    from emu_tpu.pipelines.emu1_pipeline import EmuGenerationPipeline
+    pipe = EmuGenerationPipeline.from_config(tiny=True, dtype=jnp.float32)
+    pipe.tokenizer = _tiny_tokenizer("emu1")
+    img = Image.fromarray(np.zeros((40, 40, 3), "uint8"))
+    out, nsfw = pipe([img, "a dog"], height=32, width=32,
+                     num_inference_steps=3, guidance_scale=7.5)
+    assert out.size == (32, 32)
+    assert nsfw is None
