@@ -1,0 +1,123 @@
+"""Benchmark harness — run on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md north star): EVA-ViT-g vision-encode
+throughput (images/sec/chip, bf16, 224², batch 32) — the reference's hot
+loop #1 (Emu1/models/eva_vit_model.py:636). `vs_baseline` compares against
+the documented A100 estimate in BASELINE.md (PyTorch eager + xformers
+EVA-CLIP-g ≈ 200 img/s); the reference publishes no speed numbers.
+
+Timing note: on the tunneled single-chip backend `block_until_ready` is a
+no-op and host fetches cost ~25ms of relay latency, so every bench loops
+the computation K times *inside one jitted program* (with a data
+dependency between iterations to defeat DCE/CSE) and fetches one scalar —
+pure device time, amortized fetch.
+
+Secondary benches (stderr): LLaMA 13B-equivalent KV-cache decode
+tokens/sec/chip, SD1.5-class UNet CFG denoise steps/sec.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_VIT_G_IMG_PER_S = 200.0  # documented estimate, BASELINE.md
+
+
+def _fetch(x) -> float:
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _time_call(fn, *args, iters=1):
+    fn(*args)                                   # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _fetch(out)                                 # force full sync
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_vit_encode(batch=32, k=10):
+    from emu_tpu.config import VisionConfig
+    from emu_tpu.models import vit
+    cfg = VisionConfig.emu1_g()
+    params = vit.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    images = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
+                               jnp.bfloat16)
+
+    @jax.jit
+    def loop(p, x):
+        def body(i, acc):
+            out = vit.forward_features(p, cfg, x + acc * 1e-8)
+            return acc + jnp.sum(out[0, 0, :4].astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    dt = _time_call(loop, params, images)
+    return batch * k / dt
+
+
+def bench_llama_decode(batch=8, layers=8, prompt=128, new=64):
+    """True 13B layer dims, reduced depth to fit one chip; reported as
+    full-40-layer-equivalent tokens/sec/chip."""
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+    cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                      num_hidden_layers=layers, num_attention_heads=40,
+                      vocab_size=32000, extended_vocab_size=32004)
+    params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    ids = jnp.full((batch, prompt), 7, jnp.int32)
+    mask = jnp.ones_like(ids)
+    embeds = llama.embed(params, ids)
+    gcfg = GenerationConfig(max_new_tokens=new, min_length=new,
+                            eos_token_id=-1, pad_token_id=32000)
+    fn = lambda: llama_generate(params, cfg, embeds, mask, gcfg)
+    dt = _time_call(fn, iters=3)
+    return batch * new / dt * layers / 40.0
+
+
+def bench_unet_step(size=64, k=10):
+    from emu_tpu.config import UNetConfig
+    from emu_tpu.diffusion import unet
+    cfg = UNetConfig.emu1_sd15()
+    params = unet.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, size, size, 4),
+                            jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, 32, cfg.cross_attention_dim), jnp.bfloat16)
+    t = jnp.asarray([500.0, 500.0])
+
+    @jax.jit
+    def loop(p, x):
+        def body(i, x):
+            return unet.forward(p, cfg, x, t, ctx) * 0.5 + x * 0.5
+        return jax.lax.fori_loop(0, k, body, x)
+
+    dt = _time_call(loop, params, lat)
+    return k / dt
+
+
+def main():
+    img_per_s = bench_vit_encode()
+    for name, fn, unit in (
+            ("llama-13B-equiv decode", bench_llama_decode, "tok/s/chip"),
+            ("SD1.5-class UNet CFG", bench_unet_step, "steps/s")):
+        try:
+            print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"secondary {name} failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "eva_vit_g_encode_throughput",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,17 +99,17 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(b, s, n_heads, head_dim)
 
 
-def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, mask):
+def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, kv_valid, causal):
     """x: [B, S, D]; kv: (k, v) [B, Skv, H, Dh] full key/value sequence;
-    mask: [B, 1, S, Skv] boolean."""
+    kv_valid: [B, Skv] padding/slot-validity mask."""
     b, s, d = x.shape
     h, hd = cfg.num_attention_heads, cfg.head_dim
     q = _split_heads(L.dense(p["q_proj"], x), h, hd)
     cos, sin = tables
     k_full, v_full = kv
     q, _ = R.apply_llama_rope(q, q, cos, sin, positions)
-    o = dot_product_attention(q, k_full, v_full, mask=mask,
-                              scale=hd ** -0.5)
+    o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
+                              causal=causal, scale=hd ** -0.5)
     return L.dense(p["o_proj"], o.reshape(b, s, d))
 
 
@@ -122,14 +122,14 @@ def _project_kv(p, cfg: LlamaConfig, x, tables, positions):
     return k, v
 
 
-def _layer(p, cfg, x, tables, positions, new_kv_fn, mask):
+def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal):
     """One decoder layer; `new_kv_fn(k_new, v_new) -> (k_full, v_full,
     updated_cache_slices)` lets prefill/decode share this body."""
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
     k_new, v_new = _project_kv(p["self_attn"], cfg, h, tables, positions)
     k_full, v_full, cache_out = new_kv_fn(k_new, v_new)
     x = x + _attn(p["self_attn"], cfg, h, tables, positions,
-                  (k_full, v_full), mask)
+                  (k_full, v_full), kv_valid, causal)
     h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_norm_eps)
     x = x + L.llama_mlp(p["mlp"], h)
     return x, cache_out
@@ -151,15 +151,10 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     b, s, _ = inputs_embeds.shape
     tables = rope_tables(cfg, s)
     positions = _positions_from_mask(attention_mask)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    causal = (ki <= qi)[None, None]
-    valid = attention_mask[:, None, None, :].astype(bool)
-    mask = jnp.logical_and(causal, valid)
 
     def body(x, p):
         x, _ = _layer(p, cfg, x, tables, positions,
-                      lambda k, v: (k, v, 0.0), mask)
+                      lambda k, v: (k, v, 0.0), attention_mask, True)
         return x, None
 
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
@@ -204,11 +199,6 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     max_len = cache["k"].shape[2]
     tables = rope_tables(cfg, max_len)
     positions = _positions_from_mask(attention_mask)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    causal = (ki <= qi)[None, None]
-    valid = attention_mask[:, None, None, :].astype(bool)
-    mask = jnp.logical_and(causal, valid)
     cache_dtype = cache["k"].dtype
 
     def body(x, xs):
@@ -221,7 +211,8 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
                 v_c, v_new.astype(cache_dtype), (0, 0, 0, 0))
             return k_new, v_new, (k_cache, v_cache)
 
-        x, cache_out = _layer(p, cfg, x, tables, positions, write, mask)
+        x, cache_out = _layer(p, cfg, x, tables, positions, write,
+                              attention_mask, True)
         return x, cache_out
 
     x, (k_all, v_all) = jax.lax.scan(
@@ -245,7 +236,6 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     max_len = cache["k"].shape[2]
     tables = rope_tables(cfg, max_len)
     pos = positions[:, None]                       # [B, 1]
-    mask = slot_mask[:, None, None, :]             # [B, 1, 1, max_len]
     cache_dtype = cache["k"].dtype
 
     def body(x, xs):
@@ -259,7 +249,8 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
             return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
                     (k_cache, v_cache))
 
-        x, cache_out = _layer(p, cfg, x, tables, pos, write, mask)
+        x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
+                              False)
         return x, cache_out
 
     x, (k_all, v_all) = jax.lax.scan(
