@@ -77,22 +77,28 @@ def _apply_common_processors(scores, seqs, t, gcfg: GenerationConfig):
 
 def _greedy_or_sample(step_fn: StepFn, last_logits, cache, slot_mask,
                       positions, prompt_len: int, gcfg: GenerationConfig,
-                      rng: Optional[jax.Array]):
+                      rng: Optional[jax.Array], trie: Optional[dict] = None):
     b = last_logits.shape[0]
     t_max = gcfg.max_new_tokens
     seqs0 = jnp.full((b, t_max), gcfg.pad_token_id, jnp.int32)
     finished0 = jnp.zeros((b,), bool)
+    state0 = jnp.zeros((b,), jnp.int32)            # trie state
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def cond(state):
-        t, _, _, _, _, finished, _, _ = state
+        t, _, _, _, _, finished, _, _, _ = state
         return jnp.logical_and(t < t_max, ~jnp.all(finished))
 
     def body(state):
-        t, cache, slot_mask, positions, seqs, finished, logits, rng = state
+        (t, cache, slot_mask, positions, seqs, finished, logits, rng,
+         tstate) = state
         scores = logits.astype(jnp.float32)
         scores = _apply_common_processors(scores, seqs, t, gcfg)
+        if trie is not None:
+            # prefix-constrained decoding (HF prefix_allowed_tokens_fn /
+            # the reference's VizWiz Trie, mm_eval/models/emu.py:97-109)
+            scores = lp.allowed_tokens_mask(scores, trie["allowed"][tstate])
         if gcfg.do_sample:
             if gcfg.temperature != 1.0:
                 scores = lp.temperature(scores, gcfg.temperature)
@@ -108,16 +114,18 @@ def _greedy_or_sample(step_fn: StepFn, last_logits, cache, slot_mask,
         seqs = seqs.at[:, t].set(token)
         finished = jnp.logical_or(finished,
                                   token == gcfg.eos_token_id)
+        if trie is not None:
+            tstate = trie["next"][tstate, token]
         slot = prompt_len + t
         # new slot always attended (HF extends attention_mask with ones,
         # even for pad continuations of finished rows)
         slot_mask = slot_mask.at[:, slot].set(True)
         logits, cache = step_fn(cache, token, slot, slot_mask, positions)
         return (t + 1, cache, slot_mask, positions + 1, seqs, finished,
-                logits, rng)
+                logits, rng, tstate)
 
     state = (jnp.int32(0), cache, slot_mask, positions, seqs0, finished0,
-             last_logits, rng)
+             last_logits, rng, state0)
     state = jax.lax.while_loop(cond, body, state)
     return state[4]  # seqs
 
@@ -265,11 +273,14 @@ def _beam_search(step_fn: StepFn, last_logits, cache, slot_mask, positions,
 
 
 def generate(prefill_fn, step_fn, inputs_embeds, attention_mask,
-             gcfg: GenerationConfig, rng: Optional[jax.Array] = None):
+             gcfg: GenerationConfig, rng: Optional[jax.Array] = None,
+             trie: Optional[dict] = None):
     """Generic engine: runs prefill then the configured decode loop.
 
     prefill_fn(embeds, mask, total_len) -> (last_logits [B, V], cache,
     slot_mask [B, total_len] bool, positions [B]).
+    trie: optional {"allowed": [n_states, V] bool, "next": [n_states, V]
+    int32} for prefix-constrained (greedy/sampling) decoding.
     Returns generated ids [B, max_new] (greedy/sample) or
     [B, num_return_sequences, max_new] (+ scores) for beams.
     """
@@ -279,7 +290,7 @@ def generate(prefill_fn, step_fn, inputs_embeds, attention_mask,
         inputs_embeds, attention_mask, total)
     if gcfg.num_beams <= 1:
         return _greedy_or_sample(step_fn, last_logits, cache, slot_mask,
-                                 positions, s, gcfg, rng)
+                                 positions, s, gcfg, rng, trie)
     seqs, scores = _beam_search(step_fn, last_logits, cache, slot_mask,
                                 positions, s, gcfg, rng)
     if gcfg.num_return_sequences == 1:
@@ -318,14 +329,15 @@ def _llama_step_fn(params, cfg):
 
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def _llama_generate_jit(params, cfg, inputs_embeds, attention_mask, gcfg,
-                        rng):
+                        rng, trie):
     return generate(_llama_prefill_fn(params, cfg, inputs_embeds.dtype),
                     _llama_step_fn(params, cfg),
-                    inputs_embeds, attention_mask, gcfg, rng)
+                    inputs_embeds, attention_mask, gcfg, rng, trie)
 
 
 def llama_generate(params, cfg, inputs_embeds, attention_mask,
-                   gcfg: GenerationConfig, rng: Optional[jax.Array] = None):
+                   gcfg: GenerationConfig, rng: Optional[jax.Array] = None,
+                   trie: Optional[dict] = None):
     """HF-`generate`-equivalent over our LLaMA: one jitted program.
 
     inputs_embeds [B, S, D] (multimodal prompt, left-padded),
@@ -334,4 +346,4 @@ def llama_generate(params, cfg, inputs_embeds, attention_mask,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return _llama_generate_jit(params, cfg, inputs_embeds, attention_mask,
-                               gcfg, rng)
+                               gcfg, rng, trie)

@@ -1,0 +1,123 @@
+"""Captioning metrics: BLEU-1..4 and CIDEr-D.
+
+Own implementations of the standard published algorithms the reference
+pulls from pycocoevalcap (ref Emu1/mm_eval/datasets/coco.py:95-129):
+corpus BLEU with brevity penalty and per-n clipped precision, and CIDEr-D
+(tf-idf-weighted n-gram cosine similarity with length penalty, n=1..4,
+sigma=6).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def tokenize(s: str) -> List[str]:
+    """PTB-lite tokenization: lowercase, strip punctuation, split."""
+    return _PUNCT.sub("", s.lower()).split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def bleu(results: Dict[str, str], refs: Dict[str, List[str]],
+         max_n: int = 4) -> List[float]:
+    """Corpus-level BLEU-1..max_n. results: id → hypothesis;
+    refs: id → list of references."""
+    clipped = [0] * max_n
+    total = [0] * max_n
+    hyp_len = ref_len = 0
+    for key, hyp in results.items():
+        h = tokenize(hyp)
+        rs = [tokenize(r) for r in refs[key]]
+        hyp_len += len(h)
+        ref_len += min((abs(len(r) - len(h)), len(r)) for r in rs)[1]
+        for n in range(1, max_n + 1):
+            hc = _ngrams(h, n)
+            max_ref = Counter()
+            for r in rs:
+                for g, c in _ngrams(r, n).items():
+                    max_ref[g] = max(max_ref[g], c)
+            clipped[n - 1] += sum(min(c, max_ref[g]) for g, c in hc.items())
+            total[n - 1] += max(sum(hc.values()), 0)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    scores = []
+    log_sum = 0.0
+    for n in range(max_n):
+        p = clipped[n] / total[n] if total[n] > 0 else 0.0
+        log_sum += math.log(max(p, 1e-12))
+        scores.append(bp * math.exp(log_sum / (n + 1)))
+    return scores
+
+
+def cider_d(results: Dict[str, str], refs: Dict[str, List[str]],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D over the result corpus (document frequencies from refs)."""
+    ids = list(results.keys())
+    ref_tokens = {k: [tokenize(r) for r in refs[k]] for k in ids}
+    hyp_tokens = {k: tokenize(results[k]) for k in ids}
+
+    # document frequency per n-gram (over reference *sets*)
+    df = [defaultdict(float) for _ in range(max_n)]
+    for k in ids:
+        for n in range(max_n):
+            seen = set()
+            for r in ref_tokens[k]:
+                seen |= set(_ngrams(r, n + 1).keys())
+            for g in seen:
+                df[n][g] += 1.0
+    log_n_docs = math.log(max(len(ids), 1))
+
+    def tfidf_vec(tokens):
+        vecs, norms, length = [], [], len(tokens)
+        for n in range(max_n):
+            counts = _ngrams(tokens, n + 1)
+            vec = {}
+            norm = 0.0
+            for g, c in counts.items():
+                idf = log_n_docs - math.log(max(df[n][g], 1.0))
+                w = c * idf
+                vec[g] = w
+                norm += w * w
+            vecs.append(vec)
+            norms.append(math.sqrt(norm))
+        return vecs, norms, length
+
+    def sim(hv, hn, hl, rv, rn, rl):
+        score = 0.0
+        delta = hl - rl
+        for n in range(max_n):
+            s = sum(min(hv[n].get(g, 0.0), rv[n][g]) * rv[n][g]
+                    for g in rv[n])
+            if hn[n] > 0 and rn[n] > 0:
+                s /= hn[n] * rn[n]
+            s *= math.exp(-delta ** 2 / (2 * sigma ** 2))
+            score += s
+        return score / max_n
+
+    total = 0.0
+    for k in ids:
+        hv, hn, hl = tfidf_vec(hyp_tokens[k])
+        s = 0.0
+        for r in ref_tokens[k]:
+            rv, rn, rl = tfidf_vec(r)
+            s += sim(hv, hn, hl, rv, rn, rl)
+        total += 10.0 * s / max(len(ref_tokens[k]), 1)
+    return total / max(len(ids), 1)
+
+
+def evaluate_captions(results: List[Dict], refs: Dict[str, List[str]]
+                      ) -> Dict[str, float]:
+    """results: [{image_id, caption}]; refs: image_id → gt captions."""
+    res = {str(r["image_id"]): r["caption"] for r in results
+           if str(r["image_id"]) in refs}
+    use_refs = {k: refs[k] for k in res}
+    b = bleu(res, use_refs)
+    return {"BLEU-1": 100 * b[0], "BLEU-4": 100 * b[3],
+            "CIDEr": 100 * cider_d(res, use_refs), "n": len(res)}
