@@ -53,7 +53,7 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
         iq = pl.program_id(2)
         row = jax.lax.broadcasted_iota(jnp.int32, (bq, skv), 0) + iq * bq
         keep = jnp.logical_and(keep, col <= row + diag_offset)
-    keep = jnp.logical_and(keep, valid_ref[0, :][None, :] > 0)
+    keep = jnp.logical_and(keep, valid_ref[0, 0, :][None, :] > 0)
     s = jnp.where(keep, s, _NEG)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -93,7 +93,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if kv_valid is None:
         kv_valid = jnp.ones((b, skv), jnp.int32)
     valid = jnp.pad(kv_valid.astype(jnp.int32),
-                    ((0, 0), (0, skv_pad - skv)))
+                    ((0, 0), (0, skv_pad - skv)))[:, None, :]  # [B, 1, Skv']
 
     grid = (b, h, sq_pad // bq)
     kernel = functools.partial(
@@ -111,7 +111,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             pl.BlockSpec((1, 1, skv_pad, d_pad),
                          lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad), lambda b_, h_, i: (b_, 0),
+            pl.BlockSpec((1, 1, skv_pad), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d_pad),

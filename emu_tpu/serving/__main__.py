@@ -1,0 +1,82 @@
+"""CLI: `python -m emu_tpu.serving --port 9002 [--tiny]`.
+
+≙ `python backend.py` in the reference demo stack. --tiny serves
+random-weight tiny pipelines (smoke/demo mode); real deployments pass
+--chat_ckpt/--gen_ckpt safetensors/torch paths.
+"""
+
+import argparse
+import logging
+
+import jax.numpy as jnp
+
+from emu_tpu.serving.backend import EmuHTTPServer, make_server
+from emu_tpu.serving.helper import Helper
+from emu_tpu.serving.logging_utils import config_logger
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=9002)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--tiny", action="store_true",
+                   help="serve tiny random-weight pipelines")
+    p.add_argument("--chat_ckpt", default=None)
+    p.add_argument("--gen_ckpt", default=None)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--chat_concurrency", type=int, default=1)
+    p.add_argument("--generate_concurrency", type=int, default=1)
+    p.add_argument("--disable_chat", action="store_true")
+    p.add_argument("--disable_generate", action="store_true")
+    args = p.parse_args()
+
+    config_logger(logging.getLogger("emu_tpu.serving"))
+
+    chat_helper = gen_helper = None
+    if not args.disable_chat:
+        from emu_tpu.pipelines.chat import EmuChatGeneration
+        if args.tiny:
+            from emu_tpu import tokenization as T
+            from emu_tpu.config import Emu2Config
+            from emu_tpu.models import emu2
+            import jax
+            cfg = Emu2Config.tiny()
+            tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                                 T.emu2_special_tokens(),
+                                 base_vocab=cfg.llama.vocab_size)
+            params = emu2.init(jax.random.PRNGKey(0), cfg)
+            build = lambda i: EmuChatGeneration(params, cfg, tok)
+        else:
+            build = lambda i: EmuChatGeneration.from_pretrained(
+                args.chat_ckpt, instruct=True, dtype=jnp.bfloat16)
+        chat_helper = Helper(build, args.chat_concurrency)
+    if not args.disable_generate:
+        from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
+        if args.tiny:
+            from emu_tpu import tokenization as T
+            from emu_tpu.config import Emu2Config
+            cfg = Emu2Config.tiny()
+            tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                                 T.emu2_special_tokens(),
+                                 base_vocab=cfg.llama.vocab_size)
+
+            def build(i):
+                pipe = EmuVisualGeneration.from_config(tiny=True,
+                                                       dtype=jnp.float32)
+                pipe.tokenizer = tok
+                return pipe
+        else:
+            raise NotImplementedError(
+                "full Emu2-Gen serving requires --gen_ckpt conversion; "
+                "see emu_tpu.checkpoint")
+        gen_helper = Helper(build, args.generate_concurrency)
+
+    server = EmuHTTPServer(chat_helper, gen_helper)
+    httpd = make_server(server, args.host, args.port)
+    logging.getLogger("emu_tpu.serving").info(
+        "serving on %s:%d", args.host, args.port)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

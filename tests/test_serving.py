@@ -1,0 +1,125 @@
+"""Serving stack tests: real HTTP round trips against the stdlib server."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import uuid
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from emu_tpu import tokenization as T
+from emu_tpu.config import Emu2Config
+from emu_tpu.serving.backend import EmuHTTPServer, make_server
+from emu_tpu.serving.helper import Helper
+
+
+def _tiny_tok(cfg):
+    return T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                          T.emu2_special_tokens(),
+                          base_vocab=cfg.llama.vocab_size)
+
+
+def _multipart(fields, files):
+    boundary = uuid.uuid4().hex
+    out = io.BytesIO()
+    for k, v in fields.items():
+        out.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f"name=\"{k}\"\r\n\r\n{v}\r\n".encode())
+    for k, data in files.items():
+        out.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f"name=\"{k}\"; filename=\"{k}.png\"\r\n"
+                  f"Content-Type: image/png\r\n\r\n".encode())
+        out.write(data)
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    cfg = Emu2Config.tiny()
+    tok = _tiny_tok(cfg)
+
+    from emu_tpu.models import emu2
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
+    params = emu2.init(jax.random.PRNGKey(0), cfg)
+    chat = EmuChatGeneration(params, cfg, tok)
+    gen = EmuVisualGeneration.from_config(tiny=True, dtype=jnp.float32)
+    gen.tokenizer = tok
+
+    server = EmuHTTPServer(Helper(lambda i: chat, 1),
+                           Helper(lambda i: gen, 1))
+    httpd = make_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+
+
+def _png_bytes():
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.full((24, 24, 3), 90, "uint8")).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _post(port, path, fields, files):
+    body, ctype = _multipart(fields, files)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body,
+        headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return json.loads(resp.read())
+
+
+def test_mmc_chat_route(server_port):
+    res = _post(server_port, "/v1/mmc",
+                {"log_id": "t1",
+                 "prompt": json.dumps([["IMAGE", "img0"],
+                                       ["TEXT", "describe"]]),
+                 "num_beams": "1", "max_new_tokens": "3"},
+                {"img0": _png_bytes()})
+    assert res["code"] == 0
+    assert isinstance(res["data"], str)
+
+
+def test_mmg_generation_route(server_port):
+    res = _post(server_port, "/v1/mmg",
+                {"log_id": "t2",
+                 "prompt": json.dumps([["TEXT", "a cat"]]),
+                 "classifier_free_guidance": "2.0", "steps": "2",
+                 "height": "32", "width": "32"},
+                {})
+    assert res["code"] == 0
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(res["data"])))
+    assert img.format == "WEBP"
+
+
+def test_unknown_route_404(server_port):
+    body, ctype = _multipart({"prompt": "[]"}, {})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/nope", data=body,
+        headers={"Content-Type": ctype})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_bad_image_returns_error_code(server_port):
+    res = _post(server_port, "/v1/mmc",
+                {"log_id": "t3",
+                 "prompt": json.dumps([["IMAGE", "img0"],
+                                       ["TEXT", "hi"]]),
+                 "num_beams": "1", "max_new_tokens": "2"},
+                {"img0": b"not an image"})
+    assert res["code"] == -1
