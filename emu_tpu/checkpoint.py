@@ -372,7 +372,13 @@ def convert_vae(sd_flat: Dict[str, np.ndarray], cfg: VAEConfig,
 
 def load_emu1_checkpoint(path: str, cfg: Emu1Config, dtype=jnp.bfloat16,
                          mesh=None) -> dict:
-    params = convert_emu1(load_state_dict(path), cfg, dtype)
+    sd = load_state_dict(path)
+    if any(".lora_A." in k for k in sd):
+        # Emu-I ships peft LoRA adapters (r=16 α=16 on q/k/v/o_proj,
+        # ref Emu1/inference.py:41-51); merge them into the base weights
+        from emu_tpu.ops.lora import merge_lora_state_dict
+        sd = merge_lora_state_dict(sd)
+    params = convert_emu1(sd, cfg, dtype)
     if mesh is not None:
         from emu_tpu.models import emu1 as emu1_mod
         from emu_tpu.parallel import shard_params

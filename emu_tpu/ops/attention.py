@@ -79,6 +79,13 @@ def dot_product_attention(
 def _auto_backend(q, bias, mask) -> str:
     # The flash kernel needs TPU, no dense bias/mask, and enough rows to
     # fill MXU tiles; decode (Sq=1) and tiny ViTs stay on the fused XLA path.
+    # Auto-routing to flash is currently opt-in (EMU_TPU_FLASH=1): at Emu's
+    # short sequence lengths XLA's fused attention is already near
+    # speed-of-light, and the Pallas path must prove itself per-hardware
+    # before becoming the default.
+    import os
+    if os.environ.get("EMU_TPU_FLASH") != "1":
+        return "xla"
     if jax.default_backend() not in ("tpu", "axon"):
         return "xla"
     if bias is not None or mask is not None:

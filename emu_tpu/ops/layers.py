@@ -38,9 +38,17 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def dense(params: dict, x: jax.Array) -> jax.Array:
-    """y = x @ W (+ b). Accumulates in fp32 on the MXU."""
-    y = jnp.dot(x, params["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32)
+    """y = x @ W (+ b). Accumulates in fp32 on the MXU.
+
+    Also consumes int8 weight-only-quantized params
+    ({"kernel_q8", "scale"}, see emu_tpu.ops.quant) — the dequantize fuses
+    into the matmul's operand load under XLA."""
+    if "kernel_q8" in params:
+        w = (params["kernel_q8"].astype(x.dtype)
+             * params["scale"].astype(x.dtype)[..., None, :])
+    else:
+        w = params["kernel"].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
     return y.astype(x.dtype)

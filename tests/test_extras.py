@@ -1,0 +1,137 @@
+"""LoRA merge, int8 quantization, safety checker, CLI smoke tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from emu_tpu.ops.lora import merge_lora_state_dict
+from emu_tpu.ops.quant import quantize_tree
+from emu_tpu.ops import layers as L
+
+
+def test_lora_merge_math():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    a = rng.standard_normal((4, 8)).astype(np.float32)   # lora_A [r, in]
+    b = rng.standard_normal((8, 4)).astype(np.float32)   # lora_B [out, r]
+    sd = {
+        "base_model.model.model.layers.0.self_attn.q_proj.base_layer.weight": w,
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": a,
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": b,
+        "base_model.model.model.norm.weight": np.ones(8, np.float32),
+    }
+    merged = merge_lora_state_dict(sd, r=4, alpha=16.0)
+    key = "model.layers.0.self_attn.q_proj.weight"
+    assert key in merged
+    np.testing.assert_allclose(merged[key], w + 4.0 * (b @ a), rtol=1e-5)
+    assert "model.norm.weight" in merged
+    assert not any("lora" in k for k in merged)
+
+
+def test_quantized_dense_accuracy():
+    rng = np.random.default_rng(1)
+    kernel = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    params = {"self_attn": {"q_proj": {"kernel": jnp.asarray(kernel)}}}
+    qparams = quantize_tree(params)
+    q = qparams["self_attn"]["q_proj"]
+    assert q["kernel_q8"].dtype == jnp.int8
+    ref = x @ kernel
+    out = np.asarray(L.dense(q, jnp.asarray(x)))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.02          # int8 weight-only: ~1% error
+
+
+def test_quantize_tree_skips_unmatched():
+    params = {"norm": jnp.ones(8), "embed_tokens": jnp.ones((8, 4))}
+    q = quantize_tree(params)
+    assert "kernel_q8" not in str(jax.tree_util.tree_structure(q))
+
+
+def test_quantized_llama_generates():
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+    cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params)
+    ids = np.array([[5, 9, 3]], np.int32)
+    emb = llama.embed(qparams, jnp.asarray(ids))
+    out = llama_generate(qparams, cfg, emb, jnp.ones_like(ids),
+                         GenerationConfig(max_new_tokens=4, pad_token_id=0))
+    assert np.asarray(out).shape == (1, 4)
+
+    # greedy tokens should mostly agree with the fp32 model
+    ref = llama_generate(params, cfg, llama.embed(params, jnp.asarray(ids)),
+                         jnp.ones_like(ids),
+                         GenerationConfig(max_new_tokens=4, pad_token_id=0))
+    agree = (np.asarray(out) == np.asarray(ref)).mean()
+    assert agree >= 0.5
+
+
+def test_safety_checker_blacks_out_flagged():
+    from emu_tpu.models.safety_checker import (CLIPVisionConfig,
+                                               SafetyChecker, init)
+    cfg = CLIPVisionConfig.tiny()
+    params = init(jax.random.PRNGKey(0), cfg)
+    checker = SafetyChecker(params, cfg)
+    imgs = np.random.default_rng(0).random((2, 32, 32, 3)).astype(np.float32)
+
+    # force one image to be flagged: set thresholds to extremes
+    params["concept_embeds_weights"] = jnp.full((17,), 2.0)   # cos <= 1
+    out, nsfw = checker(imgs)
+    assert nsfw == [False, False]
+    np.testing.assert_array_equal(out, imgs)
+
+    params["concept_embeds_weights"] = jnp.full((17,), -2.0)  # always flag
+    out, nsfw = checker(imgs)
+    assert nsfw == [True, True]
+    assert out.max() == 0.0
+
+
+def test_safety_checker_converter_roundtrip():
+    from emu_tpu.models.safety_checker import (CLIPVisionConfig,
+                                               convert_safety_checker, init)
+    cfg = CLIPVisionConfig.tiny()
+    target = init(jax.random.PRNGKey(1), cfg)
+
+    sd = {}
+    d = cfg.hidden_size
+    g = cfg.image_size // cfg.patch_size
+    pre = "vision_model.vision_model"
+    sd[f"{pre}.embeddings.patch_embedding.weight"] = (
+        np.asarray(target["patch_embed"]["kernel"]).reshape(
+            cfg.patch_size, cfg.patch_size, 3, d).transpose(3, 2, 0, 1))
+    sd[f"{pre}.embeddings.class_embedding"] = np.zeros(d, np.float32)
+    sd[f"{pre}.embeddings.position_embedding.weight"] = np.zeros(
+        (g * g + 1, d), np.float32)
+    for ln in ("pre_layrnorm", "post_layernorm"):
+        sd[f"{pre}.{ln}.weight"] = np.ones(d, np.float32)
+        sd[f"{pre}.{ln}.bias"] = np.zeros(d, np.float32)
+    for i in range(cfg.num_layers):
+        b = f"{pre}.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{b}.{ln}.weight"] = np.ones(d, np.float32)
+            sd[f"{b}.{ln}.bias"] = np.zeros(d, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{b}.self_attn.{proj}.weight"] = np.eye(d, dtype=np.float32)
+            sd[f"{b}.self_attn.{proj}.bias"] = np.zeros(d, np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = np.zeros((cfg.intermediate_size, d),
+                                             np.float32)
+        sd[f"{b}.mlp.fc1.bias"] = np.zeros(cfg.intermediate_size, np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = np.zeros((d, cfg.intermediate_size),
+                                             np.float32)
+        sd[f"{b}.mlp.fc2.bias"] = np.zeros(d, np.float32)
+    sd["visual_projection.weight"] = np.zeros((cfg.projection_dim, d),
+                                              np.float32)
+    sd["concept_embeds"] = np.zeros((17, cfg.projection_dim), np.float32)
+    sd["special_care_embeds"] = np.zeros((3, cfg.projection_dim), np.float32)
+    sd["concept_embeds_weights"] = np.ones(17, np.float32)
+    sd["special_care_embeds_weights"] = np.ones(3, np.float32)
+
+    params = convert_safety_checker(sd, cfg)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(target))
