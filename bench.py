@@ -65,9 +65,11 @@ def bench_vit_encode(batch=32, k=25):
     return batch * k / dt
 
 
-def bench_llama_decode(batch=8, layers=8, prompt=128, new=64):
+def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
+                       int8: bool = False):
     """True 13B layer dims, reduced depth to fit one chip; reported as
-    full-40-layer-equivalent tokens/sec/chip."""
+    full-40-layer-equivalent tokens/sec/chip. int8=True benches the
+    weight-only-quantized path (v5e-1: 235 vs 155 tok/s bf16)."""
     from emu_tpu.config import LlamaConfig
     from emu_tpu.generation import GenerationConfig, llama_generate
     from emu_tpu.models import llama
@@ -75,6 +77,9 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64):
                       num_hidden_layers=layers, num_attention_heads=40,
                       vocab_size=32000, extended_vocab_size=32004)
     params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if int8:
+        from emu_tpu.ops.quant import quantize_tree
+        params = quantize_tree(params)
     ids = jnp.full((batch, prompt), 7, jnp.int32)
     mask = jnp.ones_like(ids)
     embeds = llama.embed(params, ids)
@@ -108,8 +113,13 @@ def bench_unet_step(size=64, k=25):
 
 def main():
     img_per_s = bench_vit_encode()
+    import functools
     for name, fn, unit in (
-            ("llama-13B-equiv decode", bench_llama_decode, "tok/s/chip"),
+            ("llama-13B-equiv decode bf16", bench_llama_decode,
+             "tok/s/chip"),
+            ("llama-13B-equiv decode int8",
+             functools.partial(bench_llama_decode, int8=True),
+             "tok/s/chip"),
             ("SD1.5-class UNet CFG", bench_unet_step, "steps/s")):
         try:
             print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)

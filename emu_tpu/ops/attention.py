@@ -77,19 +77,21 @@ def dot_product_attention(
 
 
 def _auto_backend(q, bias, mask) -> str:
-    # The flash kernel needs TPU, no dense bias/mask, and enough rows to
-    # fill MXU tiles; decode (Sq=1) and tiny ViTs stay on the fused XLA path.
-    # Auto-routing to flash is currently opt-in (EMU_TPU_FLASH=1): at Emu's
-    # short sequence lengths XLA's fused attention is already near
-    # speed-of-light, and the Pallas path must prove itself per-hardware
-    # before becoming the default.
+    # Measured on v5e-1: the Pallas kernel wins 1.36x at the Emu2 ViT shape
+    # (1025 tokens) and 2.79x at 2048-token causal LM prefill, but loses at
+    # 257 tokens (head-dim padding tax dominates the tiny logits tensor) —
+    # so the crossover threshold is Sq >= 512. EMU_TPU_FLASH=1/0 forces
+    # the routing either way.
     import os
-    if os.environ.get("EMU_TPU_FLASH") != "1":
+    force = os.environ.get("EMU_TPU_FLASH")
+    if force == "0":
         return "xla"
     if jax.default_backend() not in ("tpu", "axon"):
         return "xla"
     if bias is not None or mask is not None:
         return "xla"
-    if q.shape[1] < 128:
+    if force == "1":
+        return "flash"
+    if q.shape[1] < 512 or q.shape[-1] > 256:
         return "xla"
     return "flash"

@@ -1,0 +1,82 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh:
+TP/DP-sharded forwards must equal the unsharded computation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from emu_tpu.config import Emu1Config, LlamaConfig
+from emu_tpu.models import emu1, llama, vit
+from emu_tpu.parallel import make_mesh, shard_params
+
+
+def test_llama_tp_forward_matches_replicated():
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = np.random.default_rng(0).integers(3, 64, (2, 9)).astype(np.int32)
+    mask = np.ones_like(ids)
+    embeds = llama.embed(params, jnp.asarray(ids))
+    ref = np.asarray(llama.forward_hidden(params, cfg, embeds,
+                                          jnp.asarray(mask)))
+
+    mesh = make_mesh((2, 4))
+    sharded = shard_params(params, mesh, llama.sharding_rules)
+    data = jax.device_put(embeds, NamedSharding(mesh, P("data")))
+    out = np.asarray(llama.forward_hidden(sharded, cfg, data,
+                                          jnp.asarray(mask)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_llama_tp_generate_matches_replicated():
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(1), cfg)
+    ids = np.random.default_rng(1).integers(3, 64, (2, 5)).astype(np.int32)
+    mask = np.ones_like(ids)
+    gcfg = GenerationConfig(max_new_tokens=6, num_beams=3,
+                            length_penalty=-1.0, pad_token_id=0)
+    embeds = llama.embed(params, jnp.asarray(ids))
+    ref = np.asarray(llama_generate(params, cfg, embeds, jnp.asarray(mask),
+                                    gcfg))
+    mesh = make_mesh((1, 8))
+    sharded = shard_params(params, mesh, llama.sharding_rules)
+    out = np.asarray(llama_generate(sharded, cfg,
+                                    llama.embed(sharded, jnp.asarray(ids)),
+                                    jnp.asarray(mask), gcfg))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_vit_tp_forward_matches_replicated():
+    cfg = Emu1Config.tiny().vision
+    params = vit.init(jax.random.PRNGKey(2), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (4, 28, 28, 3))
+    ref = np.asarray(vit.forward_features(params, cfg, imgs))
+    mesh = make_mesh((2, 4))
+    sharded = shard_params(params, mesh, vit.sharding_rules)
+    data = jax.device_put(imgs, NamedSharding(mesh, P("data")))
+    out = np.asarray(vit.forward_features(sharded, cfg, data))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_emu1_composite_sharding_rules_cover_params():
+    """Every heavy kernel matches a TP rule (catches rule-path drift)."""
+    import re
+    from emu_tpu.parallel.mesh import tree_paths_and_leaves
+    cfg = Emu1Config.tiny()
+    params = emu1.init(jax.random.PRNGKey(0), cfg)
+    rules = [re.compile(p) for p, _ in emu1.sharding_rules]
+    unmatched_big = []
+    for path, leaf in tree_paths_and_leaves(params):
+        if leaf.ndim >= 2 and leaf.size > 4096 and "embed" not in path \
+                and not any(r.search(path) for r in rules):
+            unmatched_big.append(path)
+    # projection / patch_embed / lm_head etc. should all be covered;
+    # small glue (ln, cls, pos) may be replicated
+    allowed = {"cformer/projection/kernel", "visual/pos_embed",
+               "decoder/stu_regress_head/kernel"}
+    assert set(unmatched_big) <= allowed, unmatched_big
