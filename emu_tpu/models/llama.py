@@ -141,12 +141,14 @@ def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal):
 
 
 def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
-                   attention_mask: jax.Array) -> jax.Array:
+                   attention_mask: jax.Array, remat: bool = False
+                   ) -> jax.Array:
     """Causal forward over the whole sequence → final-norm hidden states.
 
     Matches HF `LlamaModel(...).hidden_states[-1]` (post final norm), the
     tensor the visual-regression loops read (Emu1 modeling_emu.py:240-243,
-    Emu2 emu.py:139-147).
+    Emu2 emu.py:139-147). remat=True checkpoints each layer under grad
+    (training memory/compute trade, ≙ gradient_checkpointing_enable).
     """
     b, s, _ = inputs_embeds.shape
     tables = rope_tables(cfg, s)
@@ -157,6 +159,8 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
                       lambda k, v: (k, v, 0.0), attention_mask, True)
         return x, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
 

@@ -151,8 +151,12 @@ def _block(cfg: VisionConfig, p: dict, x: jax.Array,
 
 
 def forward_features(params: dict, cfg: VisionConfig, images: jax.Array,
-                     compute_dtype=None) -> jax.Array:
-    """[B, H, W, 3] normalized images → [B, n_patch+1, width] raw features."""
+                     compute_dtype=None, remat: bool = False) -> jax.Array:
+    """[B, H, W, 3] normalized images → [B, n_patch+1, width] raw features.
+
+    remat=True rematerializes each block under grad (jax.checkpoint) —
+    the training-time equivalent of the reference's
+    `set_grad_checkpointing` (eva_vit_model.py:620-623)."""
     if compute_dtype is not None:
         images = images.astype(compute_dtype)
     x = L.patch_embed(params["patch_embed"], images, cfg.patch_size)
@@ -173,6 +177,8 @@ def forward_features(params: dict, cfg: VisionConfig, images: jax.Array,
     def body(h, blk):
         return _block(cfg, blk, h, rope_tables), None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return x
 

@@ -79,9 +79,19 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     skv = k.shape[1]
 
     d_pad = _round_up(d, 128)
-    bq = min(_round_up(sq, 128), 512)
-    sq_pad = _round_up(sq, bq)
-    skv_pad = _round_up(skv, 128)
+    # Sequence dims only need sublane (8) alignment — Mosaic accepts any
+    # block second-to-last dim equal to the (padded) array dim. Pick the
+    # largest 8-aligned query block <= 512 that divides the padded length;
+    # this cuts the padding waste from 128-alignment (e.g. 257 -> 264
+    # instead of 384 rows: -31% work).
+    sq_pad = _round_up(sq, 8)
+    divisors = [b for b in range(8, min(sq_pad, 512) + 1, 8)
+                if sq_pad % b == 0]
+    bq = max(divisors)
+    if bq < 128 and sq_pad > 512:          # degenerate factorization
+        bq = 512
+        sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, 8)
 
     def pad_to(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0),
