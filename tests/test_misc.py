@@ -1,0 +1,74 @@
+"""Odds and ends: mesh-sharded chat pipeline, device preprocess parity,
+no-repeat-ngram processor."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_chat_pipeline_with_mesh():
+    from PIL import Image
+    from emu_tpu import tokenization as T
+    from emu_tpu.config import Emu2Config
+    from emu_tpu.models import emu2
+    from emu_tpu.parallel import make_mesh
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    cfg = Emu2Config.tiny()
+    params = emu2.init(jax.random.PRNGKey(0), cfg)
+    tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                         T.emu2_special_tokens(),
+                         base_vocab=cfg.llama.vocab_size)
+    ref = EmuChatGeneration(params, cfg, tok)(
+        ["hello world"], num_beams=2, max_new_tokens=4)
+    sharded = EmuChatGeneration(params, cfg, tok, mesh=make_mesh((1, 8)))(
+        ["hello world"], num_beams=2, max_new_tokens=4)
+    assert sharded == ref
+
+
+def test_device_preprocess_close_to_pil():
+    from PIL import Image
+    from emu_tpu.pipelines.preprocess import (device_preprocess,
+                                              preprocess_image)
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (64, 80, 3), np.uint8)
+    host = preprocess_image(Image.fromarray(raw), 32)
+    dev = np.asarray(device_preprocess(jnp.asarray(raw)[None], 32))[0]
+    # different bicubic implementations: close but not bit-equal
+    assert np.abs(host - dev).mean() < 0.15
+    assert np.corrcoef(host.ravel(), dev.ravel())[0, 1] > 0.98
+
+
+def test_no_repeat_ngram_blocks_repeat():
+    from emu_tpu.generation import logits_process as lp
+    # generated so far: [5, 6, 5] with cur_len=3, ngram=2:
+    # suffix is [5]; window [5]->6 seen -> token 6 banned
+    seqs = jnp.asarray([[5, 6, 5, 0, 0]])
+    scores = jnp.zeros((1, 10))
+    out = np.asarray(lp.no_repeat_ngram(scores, seqs, jnp.int32(3), 2))
+    assert out[0, 6] < -1e20
+    assert out[0, 7] == 0.0
+
+    # cur_len below ngram size: nothing banned
+    out2 = np.asarray(lp.no_repeat_ngram(scores, seqs, jnp.int32(1), 2))
+    assert (out2 == 0).all()
+
+
+def test_greedy_no_repeat_ngram_generation():
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+    cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = np.array([[5, 9, 3]], np.int32)
+    emb = llama.embed(params, jnp.asarray(ids))
+    out = llama_generate(params, cfg, emb, jnp.ones_like(ids),
+                         GenerationConfig(max_new_tokens=12,
+                                          no_repeat_ngram_size=2,
+                                          pad_token_id=0))
+    seq = np.asarray(out)[0].tolist()
+    bigrams = [(seq[i], seq[i + 1]) for i in range(len(seq) - 1)
+               if seq[i + 1] != 0]
+    assert len(bigrams) == len(set(bigrams)), f"repeated bigram in {seq}"
