@@ -394,3 +394,41 @@ def load_emu2_checkpoint(path: str, cfg: Emu2Config, dtype=jnp.bfloat16,
         from emu_tpu.parallel import shard_params
         params = shard_params(params, mesh, emu2_mod.sharding_rules)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint format (orbax) — save/restore our own pytrees, so the
+# one-time torch conversion isn't repeated at every model load, and sharded
+# multi-host restore lands tensors directly on the mesh.
+# ---------------------------------------------------------------------------
+
+
+def save_params(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, like=None, mesh=None, rules=None):
+    """Restore a params pytree. With `like` (a matching abstract/concrete
+    tree) dtypes/shapes are enforced; with mesh+rules the restore is
+    sharded in place."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    target = None
+    if like is not None:
+        target = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
+        if mesh is not None and rules is not None:
+            from emu_tpu.parallel.mesh import sharding_tree
+            shardings = sharding_tree(like, mesh, rules)
+            target = jax.tree_util.tree_map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                                   sharding=sh),
+                target, shardings)
+    params = ckptr.restore(path, target)
+    if target is None and mesh is not None and rules is not None:
+        from emu_tpu.parallel import shard_params
+        params = shard_params(params, mesh, rules)
+    return params

@@ -46,6 +46,9 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
     if "kernel_q8" in params:
         w = (params["kernel_q8"].astype(x.dtype)
              * params["scale"].astype(x.dtype)[..., None, :])
+    elif "kernel_q4" in params:
+        from emu_tpu.ops.quant import dequantize_int4
+        w = dequantize_int4(params, x.dtype)
     else:
         w = params["kernel"].astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)

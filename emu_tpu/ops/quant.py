@@ -35,8 +35,51 @@ def quantize_kernel(kernel: jax.Array) -> dict:
     return {"kernel_q8": q.astype(jnp.int8), "scale": scale}
 
 
-def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS):
-    """Quantize matching kernels in a param pytree (path-regex match)."""
+def quantize_kernel_int4(kernel: jax.Array, group_size: int = 128) -> dict:
+    """[..., in, out] → nibble-packed int4 with per-(group, out) scales.
+
+    Two 4-bit values pack into one int8 along the `in` axis; scales are
+    per input-group (group_size rows) per output channel — the accuracy
+    recipe that makes 4-bit usable (≙ bitsandbytes' blockwise 4-bit,
+    ref Emu2 demo backend's load_in_4bit path).
+    """
+    *lead, n_in, n_out = kernel.shape
+    assert n_in % group_size == 0 and group_size % 2 == 0
+    kf = kernel.astype(jnp.float32).reshape(*lead, n_in // group_size,
+                                            group_size, n_out)
+    scale = jnp.max(jnp.abs(kf), axis=-2) / 7.0          # [..., G, out]
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(kf / scale[..., None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(*lead, n_in, n_out)
+    low = q[..., 0::2, :]
+    high = q[..., 1::2, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(low, 0x0F),
+                            jnp.left_shift(high, 4)).astype(jnp.int8)
+    return {"kernel_q4": packed, "scale4": scale}
+
+
+def dequantize_int4(params: dict, dtype) -> jax.Array:
+    """Unpack {kernel_q4, scale4} back to a dense [..., in, out] kernel.
+    The group size is implied by the shapes (n_in / n_groups)."""
+    packed = params["kernel_q4"]
+    scale = params["scale4"]
+    low = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend
+    high = jnp.right_shift(packed, 4)
+    q = jnp.stack([low, high], axis=-2)                  # [..., in/2, 2, out]
+    *lead, half, _, n_out = q.shape
+    n_in = half * 2
+    group = n_in // scale.shape[-2]
+    qf = q.reshape(*lead, n_in // group, group, n_out).astype(dtype)
+    w = qf * scale[..., None, :].astype(dtype)
+    return w.reshape(*lead, n_in, n_out)
+
+
+def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
+                  bits: int = 8, group_size: int = 128):
+    """Quantize matching kernels in a param pytree (path-regex match).
+
+    bits=8: per-channel symmetric int8; bits=4: nibble-packed grouped int4.
+    """
     regexes = [re.compile(p) for p in patterns]
 
     def walk(tree, path=""):
@@ -46,9 +89,10 @@ def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS):
                 sub = f"{path}/{k}" if path else k
                 if (k == "kernel" and isinstance(v, jax.Array)
                         and any(r.search(sub) for r in regexes)):
-                    qd = quantize_kernel(v)
-                    out["kernel_q8"] = qd["kernel_q8"]
-                    out["scale"] = qd["scale"]
+                    if bits == 4:
+                        out.update(quantize_kernel_int4(v, group_size))
+                    else:
+                        out.update(quantize_kernel(v))
                 else:
                     out[k] = walk(v, sub)
             return out

@@ -42,6 +42,17 @@ class EmuChatGeneration:
             params = shard_params(params, mesh, emu2.sharding_rules)
         self.params = params
 
+    def multito(self, devices) -> "EmuChatGeneration":
+        """Device-list API shim over mesh sharding (≙ the reference's
+        `multicuda`/`multito` layer placement, Emu2/emu/chat.py:235-283):
+        tensor-parallel-shards the params over the given devices."""
+        from emu_tpu.parallel import make_mesh, shard_params
+        mesh = make_mesh((1, len(devices)), devices=devices)
+        self.params = shard_params(self.params, mesh, emu2.sharding_rules)
+        return self
+
+    multicuda = multito
+
     @classmethod
     def from_config(cls, instruct: bool = False, seed: int = 0,
                     dtype=None, **kwargs) -> "EmuChatGeneration":

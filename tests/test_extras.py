@@ -135,3 +135,44 @@ def test_safety_checker_converter_roundtrip():
     params = convert_safety_checker(sd, cfg)
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(target))
+
+
+def test_int4_quantized_dense_accuracy():
+    from emu_tpu.ops.quant import quantize_tree, dequantize_int4
+    rng = np.random.default_rng(2)
+    kernel = rng.standard_normal((256, 32)).astype(np.float32) * 0.1
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    params = {"mlp": {"down": {"kernel": jnp.asarray(kernel)}}}
+    q = quantize_tree(params, bits=4, group_size=64)["mlp"]["down"]
+    assert q["kernel_q4"].shape == (128, 32)     # packed
+    w = np.asarray(dequantize_int4(q, jnp.float32))
+    assert w.shape == (256, 32)
+    rel = np.abs(w - kernel).max() / np.abs(kernel).max()
+    assert rel < 0.12                            # 4-bit grouped error
+    # the invariant: dense on packed params == matmul with the dequantized
+    # kernel, and per-element rounding stays within the int4 step bound
+    out = np.asarray(L.dense(q, jnp.asarray(x)))
+    np.testing.assert_allclose(out, x @ w, rtol=1e-5, atol=1e-5)
+    step_bound = np.abs(kernel).max() / 7.0 / 2.0 * 1.1
+    assert np.abs(w - kernel).max() <= step_bound
+    # statistical noise on pure-Gaussian data is ~13% (σw/err ratio);
+    # just confirm the magnitude is in that regime, not broken
+    ref = x @ kernel
+    assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.2
+
+
+def test_int4_llama_generates():
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+    from emu_tpu.ops.quant import quantize_tree
+    cfg = LlamaConfig(hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(3), cfg)
+    q = quantize_tree(params, bits=4, group_size=64)
+    ids = np.array([[5, 9, 3]], np.int32)
+    out = llama_generate(q, cfg, llama.embed(q, jnp.asarray(ids)),
+                         jnp.ones_like(ids),
+                         GenerationConfig(max_new_tokens=4, pad_token_id=0))
+    assert np.asarray(out).shape == (1, 4)
