@@ -48,6 +48,7 @@ class GenerationConfig:
     length_penalty: float = 0.0
     no_repeat_ngram_size: int = 0
     num_return_sequences: int = 1
+    penalty_alpha: float = 0.0          # >0 + top_k>1 → contrastive search
     eos_token_id: int = 2
     pad_token_id: int = 32000
 
@@ -268,6 +269,104 @@ def _beam_search(step_fn: StepFn, last_logits, cache, slot_mask, positions,
 
 
 # ---------------------------------------------------------------------------
+# Contrastive search (model-aware: needs per-token hidden states)
+# ---------------------------------------------------------------------------
+
+
+def _contrastive_search(params, cfg, inputs_embeds, attention_mask,
+                        gcfg: GenerationConfig):
+    """HF contrastive search (penalty_alpha > 0, top_k > 1), exposed by the
+    reference's generate signature (Emu1/modeling_emu.py:113, Emu2/emu.py:
+    172): each step scores the top-k continuations by
+    (1-α)·p(token) − α·max cosine-sim(candidate hidden, context hiddens)
+    and keeps the least-degenerate one. Costs k model calls per step,
+    batched as one [B*k] decode.
+    """
+    from emu_tpu.models import llama
+    b, s, d = inputs_embeds.shape
+    k = gcfg.top_k
+    alpha = jnp.float32(gcfg.penalty_alpha)
+    t_max = gcfg.max_new_tokens
+    total = s + t_max
+
+    cache = llama.init_cache(cfg, b, total, dtype=inputs_embeds.dtype)
+    hidden, cache = llama.prefill(params, cfg, inputs_embeds,
+                                  attention_mask, cache)
+    logits0 = llama.logits(params, hidden[:, -1])
+    # context hidden history (pad slots masked out of the cosine max)
+    hist = jnp.zeros((b, total, d), hidden.dtype)
+    hist = jax.lax.dynamic_update_slice(hist, hidden, (0, 0, 0))
+    hist_mask0 = jnp.zeros((b, total), bool).at[:, :s].set(
+        attention_mask.astype(bool))
+
+    slot_mask0 = jnp.zeros((b, total), bool).at[:, :s].set(
+        attention_mask.astype(bool))
+    positions0 = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+    seqs0 = jnp.full((b, t_max), gcfg.pad_token_id, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+    rows = jnp.arange(b)
+
+    def cond(st):
+        return (st["t"] < t_max) & ~jnp.all(st["finished"])
+
+    def body(st):
+        t = st["t"]
+        scores = st["logits"].astype(jnp.float32)
+        scores = _apply_common_processors(scores, st["seqs"], t, gcfg)
+        probs = jax.nn.softmax(scores, axis=-1)
+        top_p, top_tok = jax.lax.top_k(probs, k)            # [B, k]
+
+        # run all k candidates as one expanded batch against a shared cache
+        slot = s + t
+        cache_k = jax.tree_util.tree_map(
+            lambda c: jnp.repeat(c, k, axis=1), st["cache"])
+        sm = jnp.repeat(st["slot_mask"].at[:, slot].set(True), k, 0)
+        pos = jnp.repeat(st["positions"], k, 0)
+        emb = llama.embed(params, top_tok.reshape(-1))[:, None, :]
+        h, cache_k = llama.decode_step(params, cfg, cache_k, emb,
+                                       slot, sm, pos)
+        h = h[:, 0].reshape(b, k, d)                        # candidates
+
+        # degeneration penalty: max cosine sim vs context hiddens
+        hn = h / jnp.linalg.norm(h.astype(jnp.float32), axis=-1,
+                                 keepdims=True)
+        ctxn = st["hist"].astype(jnp.float32)
+        ctxn = ctxn / jnp.maximum(
+            jnp.linalg.norm(ctxn, axis=-1, keepdims=True), 1e-9)
+        cos = jnp.einsum("bkd,btd->bkt", hn.astype(jnp.float32), ctxn)
+        cos = jnp.where(st["hist_mask"][:, None, :], cos, -1.0)
+        penalty = jnp.max(cos, axis=-1)                     # [B, k]
+
+        cs = (1.0 - alpha) * top_p - alpha * penalty
+        sel = jnp.argmax(cs, axis=-1)                       # [B]
+        token = top_tok[rows, sel]
+        token = jnp.where(st["finished"], gcfg.pad_token_id,
+                          token).astype(jnp.int32)
+        seqs = st["seqs"].at[:, t].set(token)
+        finished = st["finished"] | (token == gcfg.eos_token_id)
+
+        # keep the selected candidate's cache rows + hidden
+        flat_sel = rows * k + sel
+        cache = jax.tree_util.tree_map(lambda c: c[:, flat_sel], cache_k)
+        h_sel = h[rows, sel]
+        hist = jax.lax.dynamic_update_slice(
+            st["hist"], h_sel[:, None, :], (0, slot, 0))
+        hist_mask = st["hist_mask"].at[:, slot].set(True)
+        slot_mask = st["slot_mask"].at[:, slot].set(True)
+        logits = llama.logits(params, h_sel)
+        return {"t": t + 1, "cache": cache, "slot_mask": slot_mask,
+                "positions": st["positions"] + 1, "seqs": seqs,
+                "finished": finished, "logits": logits, "hist": hist,
+                "hist_mask": hist_mask}
+
+    st = {"t": jnp.int32(0), "cache": cache, "slot_mask": slot_mask0,
+          "positions": positions0, "seqs": seqs0, "finished": finished0,
+          "logits": logits0, "hist": hist, "hist_mask": hist_mask0}
+    st = jax.lax.while_loop(cond, body, st)
+    return st["seqs"]
+
+
+# ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
 
@@ -330,6 +429,10 @@ def _llama_step_fn(params, cfg):
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def _llama_generate_jit(params, cfg, inputs_embeds, attention_mask, gcfg,
                         rng, trie):
+    if gcfg.penalty_alpha > 0 and gcfg.top_k > 1 and gcfg.num_beams <= 1 \
+            and not gcfg.do_sample:
+        return _contrastive_search(params, cfg, inputs_embeds,
+                                   attention_mask, gcfg)
     return generate(_llama_prefill_fn(params, cfg, inputs_embeds.dtype),
                     _llama_step_fn(params, cfg),
                     inputs_embeds, attention_mask, gcfg, rng, trie)

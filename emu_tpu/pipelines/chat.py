@@ -123,6 +123,7 @@ class EmuChatGeneration:
     def __call__(self, inputs: List, is_grounding: bool = False,
                  num_beams: int = 5, max_new_tokens: int = 10,
                  min_len: int = 1, do_sample: bool = False,
+                 penalty_alpha: Optional[float] = None,
                  top_p: Optional[float] = None, top_k: Optional[int] = None,
                  temperature: Optional[float] = None,
                  length_penalty: float = -1.0,
@@ -153,12 +154,15 @@ class EmuChatGeneration:
                                      self.cfg.v_query)
             video_embeds = e.reshape(-1, e.shape[-1])
 
+        if penalty_alpha:              # contrastive search (ref chat.py:52)
+            num_beams = 1
         gcfg = GenerationConfig(
             max_new_tokens=max_new_tokens, min_length=min_len,
             num_beams=num_beams, do_sample=do_sample,
             temperature=temperature or 1.0, top_k=top_k or 0,
             top_p=top_p or 1.0, repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
+            penalty_alpha=penalty_alpha or 0.0,
             eos_token_id=self.tokenizer.eos_token_id,
             pad_token_id=self.tokenizer.pad_token_id)
         out = emu2.generate(self.params, self.cfg, jnp.asarray(ids),

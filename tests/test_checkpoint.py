@@ -152,3 +152,33 @@ def _synthesize_diffusers_unet_sd(target, cfg):
     put_ln("conv_norm_out", target["conv_norm_out"])
     put_conv("conv_out", target["conv_out"])
     return sd
+
+
+def test_orbax_native_roundtrip(tmp_path):
+    from emu_tpu.checkpoint import restore_params, save_params
+    from emu_tpu.models import llama
+    from emu_tpu.config import LlamaConfig
+    cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt")
+    save_params(path, params)
+    restored = restore_params(path, like=params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # sharded restore onto a mesh
+    from emu_tpu.parallel import make_mesh
+    mesh = make_mesh((2, 4))
+    sharded = restore_params(path, like=params, mesh=mesh,
+                             rules=llama.sharding_rules)
+    from emu_tpu.models.llama import forward_hidden
+    ids = np.array([[5, 9, 3]], np.int32)
+    h1 = forward_hidden(params, cfg, llama.embed(params, jnp.asarray(ids)),
+                        jnp.ones_like(ids))
+    h2 = forward_hidden(sharded, cfg, llama.embed(sharded, jnp.asarray(ids)),
+                        jnp.ones_like(ids))
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5,
+                               atol=1e-5)

