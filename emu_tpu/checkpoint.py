@@ -32,8 +32,22 @@ from emu_tpu.config import (Emu1Config, Emu2Config, LlamaConfig, T5Config,
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch .bin/.pt (with optional 'module' wrapper) or
-    .safetensors file into numpy arrays."""
+    """Load torch .bin/.pt (with optional 'module' wrapper), .safetensors,
+    or an HF sharded checkpoint (directory with *.index.json, as in the
+    reference's hf_model demo backend / Emu2 conf) into numpy arrays."""
+    import os
+    if os.path.isdir(path):
+        import glob
+        import json as _json
+        index = glob.glob(os.path.join(path, "*.index.json"))
+        if not index:
+            raise FileNotFoundError(f"no *.index.json in {path}")
+        with open(index[0]) as f:
+            weight_map = _json.load(f)["weight_map"]
+        out: Dict[str, np.ndarray] = {}
+        for shard in sorted(set(weight_map.values())):
+            out.update(load_state_dict(os.path.join(path, shard)))
+        return out
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))

@@ -40,9 +40,14 @@ def vizwiz_dataloader(root_path: str, batch_size: int):
 
 
 def vizwiz_results_processor(results, output_dir):
-    save = [{"image": r.get("image_name", r["instance_id"]),
-             "answer": base.short_answer(r["prediction"])}
-            for r in results]
+    save = []
+    for r in results:
+        row = {"image": r.get("image_name", r["instance_id"]),
+               "answer": base.short_answer(r["prediction"])}
+        if "answerability" in r:
+            # constrained decode emits "yes"/"no" → answerability prob
+            row["answerable"] = int("yes" in r["answerability"].lower())
+        save.append(row)
     path = base.dump_json(save, output_dir, "vizwiz_answer.json")
     print(f"VizWiz predictions written to {path} (server-scored benchmark)")
     return {"n": len(save), "file": path}

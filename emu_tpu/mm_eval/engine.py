@@ -36,8 +36,8 @@ class EvalArguments:
 
 
 def _registry():
-    from emu_tpu.mm_eval.datasets import (coco, mmvet, okvqa, visdial,
-                                          vizwiz, vqav2)
+    from emu_tpu.mm_eval.datasets import (coco, mmbench, mmvet, okvqa,
+                                          visdial, vizwiz, vqav2)
     return {
         "coco": (coco.coco_dataloader, coco.coco_results_processor),
         "vqav2": (vqav2.vqav2_dataloader, vqav2.vqav2_results_processor),
@@ -46,6 +46,8 @@ def _registry():
         "visdial": (visdial.visdial_dataloader,
                     visdial.visdial_results_processor),
         "mmvet": (mmvet.mmvet_dataloader, mmvet.mmvet_results_processor),
+        "mmbench": (mmbench.mmbench_dataloader,
+                    mmbench.mmbench_results_processor),
     }
 
 

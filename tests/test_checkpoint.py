@@ -182,3 +182,21 @@ def test_orbax_native_roundtrip(tmp_path):
                         jnp.ones_like(ids))
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_sharded_index_loading(tmp_path):
+    """HF-style sharded checkpoint: *.index.json + shard .bin files."""
+    import json
+    import torch as _torch
+    sd1 = {"a.weight": _torch.ones(3), "b.weight": _torch.zeros(2)}
+    sd2 = {"c.weight": _torch.full((2, 2), 7.0)}
+    _torch.save(sd1, tmp_path / "model-00001.bin")
+    _torch.save(sd2, tmp_path / "model-00002.bin")
+    index = {"weight_map": {"a.weight": "model-00001.bin",
+                            "b.weight": "model-00001.bin",
+                            "c.weight": "model-00002.bin"}}
+    with open(tmp_path / "pytorch_model.bin.index.json", "w") as f:
+        json.dump(index, f)
+    sd = C.load_state_dict(str(tmp_path))
+    assert set(sd) == {"a.weight", "b.weight", "c.weight"}
+    np.testing.assert_array_equal(sd["c.weight"], np.full((2, 2), 7.0))

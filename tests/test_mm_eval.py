@@ -124,3 +124,46 @@ def test_end_to_end_coco_eval_synthetic(tmp_path):
     assert metric["n"] == 2
     out = json.load(open(tmp_path / "out" / "coco_answer.json"))
     assert len(out) == 2 and all("caption" in r for r in out)
+
+
+def test_mmbench_end_to_end_synthetic(tmp_path):
+    """The dataset the reference imports but never shipped — ours works."""
+    import base64
+    import io
+    import pandas as pd
+    from PIL import Image
+    from emu_tpu import tokenization as T
+    from emu_tpu.config import Emu1Config
+    from emu_tpu.mm_eval.engine import EvalArguments, evaluate_engine
+    from emu_tpu.mm_eval.model import EmuEvalModel
+    from emu_tpu.models import emu1
+    import dataclasses
+
+    os.makedirs(tmp_path / "mmbench")
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (120, 10, 10)).save(buf, "PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    pd.DataFrame([
+        {"index": 1, "image": b64, "question": "what color?",
+         "hint": None, "A": "red", "B": "blue", "C": "green", "D": "dog"},
+        {"index": 2, "image": b64, "question": "what is it?",
+         "hint": "a hint", "A": "square", "B": "circle", "C": "line",
+         "D": "dot"},
+    ]).to_csv(tmp_path / "mmbench/mmbench_dev.tsv", sep="\t", index=False)
+
+    base_cfg = Emu1Config.tiny()
+    cfg = Emu1Config(
+        vision=base_cfg.vision,
+        llama=dataclasses.replace(base_cfg.llama, extended_vocab_size=262),
+        t5=base_cfg.t5, n_causal=32, instruct=True)
+    params = emu1.init(jax.random.PRNGKey(0), cfg)
+    tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                         T.emu1_special_tokens(True),
+                         base_vocab=cfg.llama.vocab_size)
+    model = EmuEvalModel(params, cfg, tok)
+    metric = evaluate_engine(model, EvalArguments(
+        output_path=str(tmp_path / "out"), dataset_name="mmbench",
+        batch_size=2, root_path=str(tmp_path)))
+    assert metric["n"] == 2
+    out = json.load(open(tmp_path / "out" / "mmbench_answer.json"))
+    assert all(r["prediction"] in "ABCD" for r in out)
