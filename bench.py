@@ -90,6 +90,54 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
     return batch * new / dt * layers / 40.0
 
 
+def bench_vit_4b_encode(batch=8, k=10):
+    """Emu2's EVA-4B tower (448px, 1025 tokens, 64 layers) — flash-eligible."""
+    from emu_tpu.config import VisionConfig
+    from emu_tpu.models import vit
+    cfg = VisionConfig.emu2_4b()
+    params = vit.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    images = jax.random.normal(jax.random.PRNGKey(1), (batch, 448, 448, 3),
+                               jnp.bfloat16)
+
+    @jax.jit
+    def loop(p, x):
+        def body(i, acc):
+            out = vit.forward_features(p, cfg, x + acc * 1e-8)
+            return acc + jnp.sum(out[0, 0, :4].astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    dt = _time_call(loop, params, images)
+    return batch * k / dt
+
+
+def bench_sdxl_unet_step(size=128, k=5):
+    """Emu2-Gen SDXL-class UNet at the real 1024² latent size (128²)."""
+    from emu_tpu.config import UNetConfig
+    from emu_tpu.diffusion import unet
+    cfg = UNetConfig.emu2_sdxl()
+    params = unet.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, size, size, 4),
+                            jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 1792),
+                            jnp.bfloat16)
+    text_embeds = jnp.mean(ctx, axis=1)
+    tids = jnp.tile(jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]]),
+                    (2, 1))
+    t = jnp.asarray([500.0, 500.0])
+
+    @jax.jit
+    def loop(p, x):
+        def body(i, x):
+            out = unet.forward(p, cfg, x, t, ctx,
+                               added_text_embeds=text_embeds,
+                               added_time_ids=tids)
+            return out * 0.5 + x * 0.5
+        return jax.lax.fori_loop(0, k, body, x)
+
+    dt = _time_call(loop, params, lat)
+    return k / dt
+
+
 def bench_unet_step(size=64, k=25):
     from emu_tpu.config import UNetConfig
     from emu_tpu.diffusion import unet
@@ -120,7 +168,9 @@ def main():
             ("llama-13B-equiv decode int8",
              functools.partial(bench_llama_decode, int8=True),
              "tok/s/chip"),
-            ("SD1.5-class UNet CFG", bench_unet_step, "steps/s")):
+            ("EVA-4B ViT encode 448px", bench_vit_4b_encode, "img/s/chip"),
+            ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
+            ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s")):
         try:
             print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
