@@ -72,3 +72,35 @@ def test_greedy_no_repeat_ngram_generation():
     bigrams = [(seq[i], seq[i + 1]) for i in range(len(seq) - 1)
                if seq[i + 1] != 0]
     assert len(bigrams) == len(set(bigrams)), f"repeated bigram in {seq}"
+
+
+def test_attentional_pooler_shapes():
+    from emu_tpu.ops.pooler import attentional_pooler, attentional_pooler_init
+    params = attentional_pooler_init(jax.random.PRNGKey(0), d_model=32,
+                                     context_dim=48, n_head=4, n_queries=16)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 48))
+    out = attentional_pooler(params, tokens, n_head=4)
+    assert out.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_patch_dropout_keeps_cls():
+    from emu_tpu.ops.pooler import patch_dropout
+    tokens = jnp.arange(2 * 11 * 3, dtype=jnp.float32).reshape(2, 11, 3)
+    kept, idx = patch_dropout(jax.random.PRNGKey(0), tokens, prob=0.5)
+    assert kept.shape[1] == 1 + 5                 # cls + 50% of 10
+    np.testing.assert_array_equal(np.asarray(kept[:, 0]),
+                                  np.asarray(tokens[:, 0]))
+    assert (np.asarray(idx[:, 1:]) >= 1).all()
+
+
+def test_scaled_cosine_attention_bounded():
+    from emu_tpu.ops.pooler import scaled_cosine_attention
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 2, 8)) * 100
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 2, 8)) * 100
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 2, 8))
+    out = scaled_cosine_attention(q, k, v, jnp.zeros(2))
+    # cosine attention is scale-invariant in q/k magnitude
+    out2 = scaled_cosine_attention(q * 0.01, k * 0.01, v, jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-4,
+                               atol=1e-5)
