@@ -115,6 +115,9 @@ def convert_vit(sd: _SD, cfg: VisionConfig) -> dict:
     }
     if sd.has("pos_embed"):
         params["pos_embed"] = sd.raw("pos_embed")
+    if sd.has("rel_pos_bias.relative_position_bias_table"):
+        params["rel_pos_bias"] = sd.raw(
+            "rel_pos_bias.relative_position_bias_table")
 
     def block(b: _SD) -> dict:
         p = {

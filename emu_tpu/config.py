@@ -41,6 +41,7 @@ class VisionConfig:
     subln: bool = False             # sub-LayerNorm (inner attn/ffn LN)
     naiveswiglu: bool = False       # SwiGLU MLP instead of GELU MLP
     rope: bool = False              # 2D vision rotary embeddings
+    use_shared_rel_pos_bias: bool = False  # shared 2D relative bias table
     pt_hw_seq_len: int = 16
     intp_freq: bool = False
     ls_init_value: Optional[float] = None  # layerscale gamma init

@@ -68,6 +68,29 @@ class SpeedLogger:
               f"success {100 * s['success_rate']:.1f}%")
 
 
+class StatusTableLogger:
+    """wandb run/table logging (ref logger.py:155-211); no-ops cleanly when
+    wandb is absent (it is not bundled in this image)."""
+
+    def __init__(self, project: str = "emu-tpu-data", enabled: bool = True):
+        self.run = None
+        if not enabled:
+            return
+        try:
+            import wandb
+            self.run = wandb.init(project=project, anonymous="allow")
+        except Exception:  # noqa: BLE001
+            self.run = None
+
+    def log(self, stats: dict, step: Optional[int] = None):
+        if self.run is not None:
+            self.run.log(stats, step=step)
+
+    def finish(self):
+        if self.run is not None:
+            self.run.finish()
+
+
 def write_stats(output_folder: str, shard_id: int, count: int,
                 successes: int, failed: int, duration: float,
                 status_dict: Optional[CappedCounter] = None,

@@ -72,6 +72,19 @@ def split_storyboard_grid(grid_bytes: bytes, rows: int = 5, cols: int = 5
     return frames
 
 
+def get_transcript(video_id: str, languages=("en",)) -> List[Dict]:
+    """Fetch a YouTube transcript (≙ Emu1/data/yt-sb-1b/get_transcript.py).
+    Requires the optional youtube_transcript_api package."""
+    try:
+        from youtube_transcript_api import YouTubeTranscriptApi
+    except ImportError as e:
+        raise ImportError(
+            "get_transcript requires youtube_transcript_api "
+            "(optional, not bundled)") from e
+    return YouTubeTranscriptApi.get_transcript(video_id,
+                                               languages=list(languages))
+
+
 def make_interleaved_shards(samples: Sequence[Dict], output_folder: str,
                             samples_per_shard: int = 1000,
                             grid_rows: int = 5, grid_cols: int = 5) -> int:

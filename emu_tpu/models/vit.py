@@ -26,12 +26,37 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from emu_tpu.config import VisionConfig
 from emu_tpu.ops import layers as L
 from emu_tpu.ops import rope as R
 from emu_tpu.ops.attention import dot_product_attention
+
+
+def relative_position_index(grid: int) -> np.ndarray:
+    """2D relative-position bucket index over (cls + grid²) tokens.
+
+    Ref: eva_vit_model.py RelativePositionBias (:454-489) / Attention window
+    tables (:233-258): per-axis offsets shifted to [0, 2g-2], row offset
+    scaled by (2g-1); three extra buckets for cls→token, token→cls, cls→cls.
+    """
+    coords = np.stack(np.meshgrid(np.arange(grid), np.arange(grid),
+                                  indexing="ij")).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]          # [2, N, N]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += grid - 1
+    rel[:, :, 1] += grid - 1
+    rel[:, :, 0] *= 2 * grid - 1
+    num_rel = (2 * grid - 1) ** 2 + 3
+    n = grid * grid
+    idx = np.zeros((n + 1, n + 1), np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel - 3
+    idx[0:, 0] = num_rel - 2
+    idx[0, 0] = num_rel - 1
+    return idx
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +115,9 @@ def init(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
     if cfg.use_abs_pos_emb:
         params["pos_embed"] = L._trunc_normal(next(keys),
                                               (1, cfg.seq_len, w), 0.02, dtype)
+    if cfg.use_shared_rel_pos_bias:
+        num_rel = (2 * cfg.grid_size - 1) ** 2 + 3
+        params["rel_pos_bias"] = jnp.zeros((num_rel, cfg.num_heads), dtype)
     if cfg.num_classes > 0:
         params["norm"] = L.layer_norm_init(w, dtype)
         params["head"] = L.dense_init(next(keys), w, cfg.num_classes,
@@ -103,7 +131,7 @@ def init(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
 
 
 def _block(cfg: VisionConfig, p: dict, x: jax.Array,
-           rope_tables=None) -> jax.Array:
+           rope_tables=None, rel_pos_bias=None) -> jax.Array:
     def attn(h):
         b, s, _ = h.shape
         ahd = cfg.num_heads * cfg.head_width
@@ -124,7 +152,8 @@ def _block(cfg: VisionConfig, p: dict, x: jax.Array,
                 [q[:, :1], R.apply_vision_rope(q[:, 1:], cos, sin)], axis=1)
             k = jnp.concatenate(
                 [k[:, :1], R.apply_vision_rope(k[:, 1:], cos, sin)], axis=1)
-        o = dot_product_attention(q, k, v, scale=cfg.head_width ** -0.5)
+        o = dot_product_attention(q, k, v, scale=cfg.head_width ** -0.5,
+                                  bias=rel_pos_bias)
         o = o.reshape(b, s, ahd)
         if "inner_ln" in p["attn"]:
             o = L.layer_norm(p["attn"]["inner_ln"], o, cfg.ln_eps)
@@ -174,8 +203,14 @@ def forward_features(params: dict, cfg: VisionConfig, images: jax.Array,
             cfg.grid_size if cfg.intp_freq else None)
         rope_tables = (jnp.asarray(cos), jnp.asarray(sin))
 
+    rel_bias = None
+    if "rel_pos_bias" in params:
+        idx = jnp.asarray(relative_position_index(cfg.grid_size))
+        # [S, S, H] → [1, H, S, S] additive bias shared by all blocks
+        rel_bias = params["rel_pos_bias"][idx].transpose(2, 0, 1)[None]
+
     def body(h, blk):
-        return _block(cfg, blk, h, rope_tables), None
+        return _block(cfg, blk, h, rope_tables, rel_bias), None
 
     if remat:
         body = jax.checkpoint(body)

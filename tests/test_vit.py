@@ -140,3 +140,31 @@ def test_avg_pool_tokens_matches_torch():
         ref = ref.reshape(2, 6, -1).permute(0, 2, 1).numpy()
     ours = np.asarray(L.avg_pool_tokens(jnp.asarray(x), 4))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_shared_rel_pos_bias_variant():
+    """use_shared_rel_pos_bias: index table symmetry + forward sanity."""
+    from emu_tpu.models.vit import relative_position_index
+    import dataclasses
+    idx = relative_position_index(2)        # 2x2 grid + cls
+    assert idx.shape == (5, 5)
+    n_rel = (2 * 2 - 1) ** 2 + 3
+    assert idx.max() == n_rel - 1            # cls->cls bucket
+    assert (idx[1:, 1:].T == idx[1:, 1:][::1][:, ::1].T).all()
+    # relative offsets are antisymmetric -> idx[i,j] pairs with idx[j,i]
+    assert idx[1, 2] != idx[2, 1]
+
+    cfg = dataclasses.replace(CFG, use_shared_rel_pos_bias=True)
+    params = vit.init(jax.random.PRNGKey(0), cfg)
+    assert params["rel_pos_bias"].shape == ((2 * cfg.grid_size - 1) ** 2 + 3,
+                                            cfg.num_heads)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 28, 28, 3))
+    base = vit.forward_features(vit.init(jax.random.PRNGKey(0),
+                                         CFG), CFG, imgs)
+    # non-uniform bias changes the output (a constant shift would be
+    # softmax-invariant)
+    params["rel_pos_bias"] = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(2), params["rel_pos_bias"].shape)
+    out = vit.forward_features(params, cfg, imgs)
+    assert out.shape == base.shape
+    assert not np.allclose(np.asarray(out), np.asarray(base))
