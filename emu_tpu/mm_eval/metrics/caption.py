@@ -112,6 +112,36 @@ def cider_d(results: Dict[str, str], refs: Dict[str, List[str]],
     return total / max(len(ids), 1)
 
 
+def rouge_l(results: Dict[str, str], refs: Dict[str, List[str]],
+            beta: float = 1.2) -> float:
+    """ROUGE-L F-measure (LCS-based), max over references per sample."""
+
+    def lcs(a: List[str], b: List[str]) -> int:
+        dp = [0] * (len(b) + 1)
+        for x in a:
+            prev = 0
+            for j, y in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if x == y else max(dp[j], dp[j - 1])
+                prev = cur
+        return dp[-1]
+
+    total = 0.0
+    for k, hyp in results.items():
+        h = tokenize(hyp)
+        best = 0.0
+        for ref in refs[k]:
+            r = tokenize(ref)
+            l = lcs(h, r)
+            if l == 0 or not h or not r:
+                continue
+            p, rec = l / len(h), l / len(r)
+            best = max(best, (1 + beta ** 2) * p * rec
+                       / (rec + beta ** 2 * p))
+        total += best
+    return total / max(len(results), 1)
+
+
 def evaluate_captions(results: List[Dict], refs: Dict[str, List[str]]
                       ) -> Dict[str, float]:
     """results: [{image_id, caption}]; refs: image_id → gt captions."""
@@ -120,4 +150,5 @@ def evaluate_captions(results: List[Dict], refs: Dict[str, List[str]]
     use_refs = {k: refs[k] for k in res}
     b = bleu(res, use_refs)
     return {"BLEU-1": 100 * b[0], "BLEU-4": 100 * b[3],
-            "CIDEr": 100 * cider_d(res, use_refs), "n": len(res)}
+            "CIDEr": 100 * cider_d(res, use_refs),
+            "ROUGE-L": 100 * rouge_l(res, use_refs), "n": len(res)}

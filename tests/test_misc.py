@@ -104,3 +104,43 @@ def test_scaled_cosine_attention_bounded():
     out2 = scaled_cosine_attention(q * 0.01, k * 0.01, v, jnp.zeros(2))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_emu2_chat_instruct_template_end_to_end():
+    """Instruct-mode Emu2: role template + n_query=256-style config (tiny
+    analogue with instruct specials in vocab)."""
+    import dataclasses
+    from PIL import Image
+    from emu_tpu import tokenization as T
+    from emu_tpu.config import Emu2Config
+    from emu_tpu.models import emu2
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    base = Emu2Config.tiny()
+    cfg = Emu2Config(
+        vision=base.vision,
+        llama=dataclasses.replace(base.llama, extended_vocab_size=530),
+        n_query=4, v_query=4, instruct=True)
+    params = emu2.init(jax.random.PRNGKey(0), cfg)
+    tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                         T.emu2_special_tokens(instruct=True),
+                         base_vocab=cfg.llama.vocab_size)
+    pipe = EmuChatGeneration(params, cfg, tok)
+    img = Image.new("RGB", (56, 56), (50, 80, 20))
+    # multi-turn chat with grounding
+    out = pipe([[img, "where is the object?"]], is_grounding=True,
+               num_beams=1, max_new_tokens=3)
+    assert isinstance(out, str)
+    # contrastive search path through the pipeline
+    out2 = pipe([img, "describe"], penalty_alpha=0.5, top_k=3,
+                max_new_tokens=3)
+    assert isinstance(out2, str)
+
+
+def test_rouge_l():
+    from emu_tpu.mm_eval.metrics.caption import rouge_l
+    res = {"1": "the cat sat on the mat"}
+    refs = {"1": ["the cat sat on the mat"]}
+    assert abs(rouge_l(res, refs) - 1.0) < 1e-6
+    assert rouge_l({"1": "dog"}, {"1": ["entirely different words"]}) == 0.0
+    partial = rouge_l({"1": "the cat on mat"}, refs)
+    assert 0.4 < partial < 1.0
