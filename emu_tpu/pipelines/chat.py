@@ -139,7 +139,9 @@ class EmuChatGeneration:
 
         text = text.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
         text = text.replace(T.VID_PLACEHOLDER, self.video_placeholder)
-        ids, mask = self.tokenizer.encode_batch([text], padding_side="left")
+        # bucket prompt lengths so repeat requests hit the jit cache
+        ids, mask = self.tokenizer.encode_batch([text], padding_side="left",
+                                                pad_to_multiple=64)
 
         import jax.numpy as jnp
         image_embeds = video_embeds = None

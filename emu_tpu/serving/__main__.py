@@ -19,6 +19,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=9002)
     p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--compile_cache", default=None,
+                   help="persistent XLA compilation cache dir (first-start "
+                        "compiles are reused across restarts)")
+    p.add_argument("--warmup", action="store_true",
+                   help="run one request per route before serving so no "
+                        "client pays the jit compile")
     p.add_argument("--tiny", action="store_true",
                    help="serve tiny random-weight pipelines")
     p.add_argument("--chat_ckpt", default=None)
@@ -31,6 +37,10 @@ def main():
     args = p.parse_args()
 
     config_logger(logging.getLogger("emu_tpu.serving"))
+    if args.compile_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     chat_helper = gen_helper = None
     if not args.disable_chat:
@@ -70,6 +80,30 @@ def main():
                 "full Emu2-Gen serving requires --gen_ckpt conversion; "
                 "see emu_tpu.checkpoint")
         gen_helper = Helper(build, args.generate_concurrency)
+
+    if args.warmup:
+        import numpy as np
+        from PIL import Image
+        log = logging.getLogger("emu_tpu.serving")
+        img = Image.fromarray(np.zeros((64, 64, 3), "uint8"))
+        if chat_helper is not None:
+            pipe = chat_helper.get()
+            try:
+                # image and text-only prompts trace different programs;
+                # warm both
+                pipe([img, "warmup"], num_beams=1, max_new_tokens=2)
+                pipe(["warmup"], num_beams=1, max_new_tokens=2)
+                log.info("chat route warmed")
+            finally:
+                chat_helper.put(pipe)
+        if gen_helper is not None:
+            pipe = gen_helper.get()
+            try:
+                kw = {"height": 32, "width": 32} if args.tiny else {}
+                pipe("warmup", num_inference_steps=2, **kw)
+                log.info("generation route warmed")
+            finally:
+                gen_helper.put(pipe)
 
     server = EmuHTTPServer(chat_helper, gen_helper)
     httpd = make_server(server, args.host, args.port)

@@ -150,10 +150,18 @@ class EmuTokenizer:
         return ids
 
     def encode_batch(self, texts: Sequence[str], padding_side: str = "left",
-                     add_bos: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-        """→ (ids [B, S], attention_mask [B, S]); "longest" padding."""
+                     add_bos: bool = True,
+                     pad_to_multiple: Optional[int] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (ids [B, S], attention_mask [B, S]); "longest" padding.
+
+        pad_to_multiple buckets the sequence length so jitted consumers
+        reuse compiled programs across nearby prompt lengths."""
         seqs = [self.encode(t, add_bos) for t in texts]
         max_len = max(len(s) for s in seqs)
+        if pad_to_multiple:
+            max_len = ((max_len + pad_to_multiple - 1)
+                       // pad_to_multiple * pad_to_multiple)
         ids = np.full((len(seqs), max_len), self.pad_token_id, np.int32)
         mask = np.zeros((len(seqs), max_len), np.int32)
         for i, s in enumerate(seqs):
