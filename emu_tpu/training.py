@@ -1,0 +1,119 @@
+"""Training loop support.
+
+The reference never published training code (Emu1/README.md:152-153 —
+inference-only release); its model code still carries the training scars
+(loss masks, gradient checkpointing hooks). This module provides the
+TPU-native training counterpart the framework needs to be complete:
+a jitted DP×TP train step over `emu1.forward_loss` (the reference's
+masked-CE objective, modeling_llama.py:189-252) with optax optimizers,
+donated state, and optional per-layer rematerialization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_emu1_train_step(cfg, tx, special_ids: Tuple[int, int, int, int],
+                         remat: bool = False) -> Callable:
+    """Build a jitted train step.
+
+    step(params, opt_state, images, token_ids, attention_mask)
+      → (params, opt_state, loss)
+
+    - loss: visual encode → scatter → masked CE (pad/[IMG]/[/IMG]/<image>
+      ignored), ref modeling_llama.py:189-252;
+    - params/opt_state donated (in-place update on device);
+    - shard params with `emu_tpu.parallel.shard_params` and batches with a
+      P("data") sharding before calling — GSPMD handles the rest.
+    """
+    import optax  # noqa: F401  (documented dependency)
+    from emu_tpu.models import emu1, llama, vit
+    from emu_tpu.ops import layers as L
+    from emu_tpu.models import causal_former
+
+    def loss_fn(params, images, token_ids, attention_mask):
+        feats = vit.forward_features(params["visual"], cfg.vision, images,
+                                     remat=remat)
+        feats = L.layer_norm(params["ln_visual"], feats, eps=1e-6)
+        vis = causal_former.forward(params["cformer"], cfg.t5, feats)
+        embeds = emu1.scatter_image_embeds(
+            params, token_ids, vis.reshape(-1, vis.shape[-1]),
+            special_ids[3])
+        hidden = llama.forward_hidden(params["decoder"], cfg.llama, embeds,
+                                      attention_mask, remat=remat)
+        logits = llama.logits(params["decoder"],
+                              hidden).astype(jnp.float32)
+        pad_id, img_id, img_end_id, image_id = special_ids
+        ignore = ((token_ids == pad_id) | (token_ids == img_id)
+                  | (token_ids == img_end_id) | (token_ids == image_id))
+        shift_labels = token_ids[:, 1:]
+        shift_valid = (~ignore[:, 1:]) & attention_mask[:, 1:].astype(bool)
+        logprobs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        ll = jnp.take_along_axis(logprobs, shift_labels[:, :, None],
+                                 axis=-1)[..., 0]
+        return -jnp.sum(ll * shift_valid) / jnp.maximum(
+            jnp.sum(shift_valid), 1)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, images, token_ids, attention_mask):
+        import optax
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, token_ids,
+                                                  attention_mask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+class Trainer:
+    """Minimal training driver: sharded step + periodic orbax checkpoints.
+
+    Example:
+        tx = optax.adamw(1e-4)
+        trainer = Trainer(cfg, params, tx, special_ids, mesh=mesh)
+        for batch in loader:
+            loss = trainer.step(**batch)
+    """
+
+    def __init__(self, cfg, params, tx, special_ids, mesh=None,
+                 remat: bool = False, checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 1000):
+        from emu_tpu.models import emu1
+        if mesh is not None:
+            from emu_tpu.parallel import shard_params
+            params = shard_params(params, mesh, emu1.sharding_rules)
+        self.params = params
+        self.opt_state = tx.init(params)
+        self._step_fn = make_emu1_train_step(cfg, tx, special_ids, remat)
+        self.mesh = mesh
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.step_count = 0
+
+    def step(self, images, token_ids, attention_mask) -> float:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P("data"))
+            images, token_ids, attention_mask = jax.device_put(
+                (images, token_ids, attention_mask), data)
+        self.params, self.opt_state, loss = self._step_fn(
+            self.params, self.opt_state, images, token_ids, attention_mask)
+        self.step_count += 1
+        if (self.checkpoint_dir
+                and self.step_count % self.checkpoint_every == 0):
+            self.save()
+        return float(loss)
+
+    def save(self):
+        import os
+        from emu_tpu.checkpoint import save_params
+        path = os.path.join(self.checkpoint_dir,
+                            f"step_{self.step_count:08d}")
+        save_params(path, self.params)
+        return path

@@ -168,3 +168,79 @@ def test_shared_rel_pos_bias_variant():
     out = vit.forward_features(params, cfg, imgs)
     assert out.shape == base.shape
     assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_swiglu_subln_block_matches_torch():
+    """EVA SwiGLU + sub-LN variant vs independent torch re-derivation
+    (ref Emu2/emu/eva_vit.py SwiGLU :110-140, inner_attn_ln)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, layers=1, naiveswiglu=True, subln=True)
+    rng = np.random.default_rng(3)
+    w, hidden, ahd = 32, 128, 32
+
+    def rand(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    tp = {k: torch.tensor(v) for k, v in {
+        "qkv_w": rand(3 * ahd, w), "q_bias": rand(ahd), "v_bias": rand(ahd),
+        "proj_w": rand(w, ahd), "proj_b": rand(w),
+        "w1_w": rand(hidden, w), "w1_b": rand(hidden),
+        "w2_w": rand(hidden, w), "w2_b": rand(hidden),
+        "w3_w": rand(w, hidden), "w3_b": rand(w),
+        "n1_w": 1 + rand(w), "n1_b": rand(w),
+        "n2_w": 1 + rand(w), "n2_b": rand(w),
+        "iln_w": 1 + rand(ahd), "iln_b": rand(ahd),
+        "fln_w": 1 + rand(hidden), "fln_b": rand(hidden),
+    }.items()}
+
+    def torch_fwd(x):
+        def ln(wt, b, t):
+            return F.layer_norm(t, (t.shape[-1],), wt, b, eps=1e-6)
+        B, N, C = x.shape
+        h = ln(tp["n1_w"], tp["n1_b"], x)
+        qkv_bias = torch.cat([tp["q_bias"], torch.zeros_like(tp["q_bias"]),
+                              tp["v_bias"]])
+        qkv = F.linear(h, tp["qkv_w"], qkv_bias)
+        qkv = qkv.reshape(B, N, 3, 4, 8).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = ((q * 8 ** -0.5) @ k.transpose(-2, -1)).softmax(-1)
+        o = (a @ v).transpose(1, 2).reshape(B, N, -1)
+        o = ln(tp["iln_w"], tp["iln_b"], o)          # inner_attn_ln
+        x = x + F.linear(o, tp["proj_w"], tp["proj_b"])
+        h = ln(tp["n2_w"], tp["n2_b"], x)
+        x1 = F.linear(h, tp["w1_w"], tp["w1_b"])
+        x2 = F.linear(h, tp["w2_w"], tp["w2_b"])
+        g = F.silu(x1) * x2
+        g = ln(tp["fln_w"], tp["fln_b"], g)          # ffn_ln
+        return x + F.linear(g, tp["w3_w"], tp["w3_b"])
+
+    jp = {
+        "norm1": {"scale": jnp.asarray(tp["n1_w"].numpy()),
+                  "bias": jnp.asarray(tp["n1_b"].numpy())},
+        "norm2": {"scale": jnp.asarray(tp["n2_w"].numpy()),
+                  "bias": jnp.asarray(tp["n2_b"].numpy())},
+        "attn": {
+            "qkv": {"kernel": jnp.asarray(tp["qkv_w"].numpy().T)},
+            "q_bias": jnp.asarray(tp["q_bias"].numpy()),
+            "v_bias": jnp.asarray(tp["v_bias"].numpy()),
+            "proj": {"kernel": jnp.asarray(tp["proj_w"].numpy().T),
+                     "bias": jnp.asarray(tp["proj_b"].numpy())},
+            "inner_ln": {"scale": jnp.asarray(tp["iln_w"].numpy()),
+                         "bias": jnp.asarray(tp["iln_b"].numpy())},
+        },
+        "mlp": {
+            "w1": {"kernel": jnp.asarray(tp["w1_w"].numpy().T),
+                   "bias": jnp.asarray(tp["w1_b"].numpy())},
+            "w2": {"kernel": jnp.asarray(tp["w2_w"].numpy().T),
+                   "bias": jnp.asarray(tp["w2_b"].numpy())},
+            "w3": {"kernel": jnp.asarray(tp["w3_w"].numpy().T),
+                   "bias": jnp.asarray(tp["w3_b"].numpy())},
+            "ffn_ln": {"scale": jnp.asarray(tp["fln_w"].numpy()),
+                       "bias": jnp.asarray(tp["fln_b"].numpy())},
+        },
+    }
+    x = rand(2, 5, w)
+    with torch.no_grad():
+        ref = torch_fwd(torch.tensor(x)).numpy()
+    ours = np.asarray(vit._block(cfg, jp, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
