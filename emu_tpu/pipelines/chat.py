@@ -120,27 +120,41 @@ class EmuChatGeneration:
 
     # -- generation ----------------------------------------------------------
 
-    def __call__(self, inputs: List, is_grounding: bool = False,
-                 num_beams: int = 5, max_new_tokens: int = 10,
-                 min_len: int = 1, do_sample: bool = False,
-                 penalty_alpha: Optional[float] = None,
-                 top_p: Optional[float] = None, top_k: Optional[int] = None,
-                 temperature: Optional[float] = None,
-                 length_penalty: float = -1.0,
-                 repetition_penalty: float = 1.0,
-                 skip_special_tokens: bool = True, rng=None) -> str:
-        assert isinstance(inputs, list)
-        if inputs and isinstance(inputs[0], list):
-            assert len(inputs) % 2 == 1, "last message must be user input"
-            text, images, videos = self._prepare_chat_inputs(inputs,
-                                                             is_grounding)
-        else:
-            text, images, videos = self._prepare_inputs(inputs)
+    def __call__(self, inputs: List, **kwargs) -> str:
+        return self.generate_batch([inputs], **kwargs)[0]
 
-        text = text.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
-        text = text.replace(T.VID_PLACEHOLDER, self.video_placeholder)
+    def generate_batch(self, batch_inputs: List[List],
+                       is_grounding: bool = False,
+                       num_beams: int = 5, max_new_tokens: int = 10,
+                       min_len: int = 1, do_sample: bool = False,
+                       penalty_alpha: Optional[float] = None,
+                       top_p: Optional[float] = None,
+                       top_k: Optional[int] = None,
+                       temperature: Optional[float] = None,
+                       length_penalty: float = -1.0,
+                       repetition_penalty: float = 1.0,
+                       skip_special_tokens: bool = True,
+                       rng=None) -> List[str]:
+        """Run several independent conversations as one padded batch —
+        the unit the serving-side dynamic batcher dispatches."""
+        texts, images, videos = [], [], []
+        for inputs in batch_inputs:
+            assert isinstance(inputs, list)
+            if inputs and isinstance(inputs[0], list):
+                assert len(inputs) % 2 == 1, \
+                    "last message must be user input"
+                text, im, vid = self._prepare_chat_inputs(inputs,
+                                                          is_grounding)
+            else:
+                text, im, vid = self._prepare_inputs(inputs)
+            text = text.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
+            text = text.replace(T.VID_PLACEHOLDER, self.video_placeholder)
+            texts.append(text)
+            images += im
+            videos += vid
+
         # bucket prompt lengths so repeat requests hit the jit cache
-        ids, mask = self.tokenizer.encode_batch([text], padding_side="left",
+        ids, mask = self.tokenizer.encode_batch(texts, padding_side="left",
                                                 pad_to_multiple=64)
 
         import jax.numpy as jnp
@@ -174,4 +188,4 @@ class EmuChatGeneration:
                             video_token_id=self.tokenizer.gimg_token_id,
                             video_embeds=video_embeds, rng=rng)
         return self.tokenizer.batch_decode(np.asarray(out),
-                                           skip_special_tokens)[0]
+                                           skip_special_tokens)

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--warmup", action="store_true",
                    help="run one request per route before serving so no "
                         "client pays the jit compile")
+    p.add_argument("--batching", action="store_true",
+                   help="coalesce concurrent same-kwargs chat requests "
+                        "into one padded TPU batch (max_batch 8, 30ms "
+                        "window)")
     p.add_argument("--tiny", action="store_true",
                    help="serve tiny random-weight pipelines")
     p.add_argument("--chat_ckpt", default=None)
@@ -59,7 +63,11 @@ def main():
         else:
             build = lambda i: EmuChatGeneration.from_pretrained(
                 args.chat_ckpt, instruct=True, dtype=jnp.bfloat16)
-        chat_helper = Helper(build, args.chat_concurrency)
+        if args.batching:
+            from emu_tpu.serving.batching import BatchingChatHelper
+            chat_helper = BatchingChatHelper(build(0))
+        else:
+            chat_helper = Helper(build, args.chat_concurrency)
     if not args.disable_generate:
         from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
         if args.tiny:
