@@ -15,3 +15,27 @@ See SURVEY.md for the structural map of the reference this framework mirrors.
 __version__ = "0.1.0"
 
 from emu_tpu import config  # noqa: F401
+from emu_tpu.config import (  # noqa: F401
+    Emu1Config,
+    Emu2Config,
+    LlamaConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+    VisionConfig,
+)
+
+
+def __getattr__(name):
+    # heavy submodules load lazily so `import emu_tpu` stays light
+    if name in ("EmuChatGeneration", "EmuVisualGeneration",
+                "EmuGenerationPipeline"):
+        from emu_tpu import pipelines
+        return getattr(pipelines, name)
+    if name == "GenerationConfig":
+        from emu_tpu.generation import GenerationConfig
+        return GenerationConfig
+    if name == "EmuTokenizer":
+        from emu_tpu.tokenization import EmuTokenizer
+        return EmuTokenizer
+    raise AttributeError(name)
