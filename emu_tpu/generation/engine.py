@@ -385,6 +385,9 @@ def generate(prefill_fn, step_fn, inputs_embeds, attention_mask,
     """
     b, s, _ = inputs_embeds.shape
     total = s + gcfg.max_new_tokens
+    assert gcfg.num_return_sequences <= max(gcfg.num_beams, 1), \
+        "num_return_sequences must be <= num_beams (tile the batch to " \
+        "draw multiple samples without beams)"
     last_logits, cache, slot_mask, positions = prefill_fn(
         inputs_embeds, attention_mask, total)
     if gcfg.num_beams <= 1:
