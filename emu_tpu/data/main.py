@@ -87,7 +87,7 @@ def video2dataset(
 
     if not shards:
         print("nothing to do (all shards already done)")
-        return
+        return S.aggregate_stats(output_folder)
 
     # SIGINT cleanup (ref main.py:92-100)
     original = signal.getsignal(signal.SIGINT)
@@ -104,6 +104,12 @@ def video2dataset(
         dist(processes_count, worker, shards, max_shard_retry)
     finally:
         signal.signal(signal.SIGINT, original)
+
+    summary = S.aggregate_stats(output_folder)
+    print(f"run summary: {summary['shards']} shards, "
+          f"{summary['successes']}/{summary['count']} ok, "
+          f"statuses {summary['status_dict']}")
+    return summary
 
 
 def main():

@@ -110,6 +110,28 @@ def write_stats(output_folder: str, shard_id: int, count: int,
     return path
 
 
+def aggregate_stats(output_folder: str) -> dict:
+    """Sum all per-shard stats JSONs into a run summary (≙ LoggerProcess
+    aggregation across workers, ref logger.py:213-317)."""
+    total = {"shards": 0, "count": 0, "successes": 0, "failed": 0,
+             "duration": 0.0, "status_dict": {}}
+    if not os.path.isdir(output_folder):
+        return total
+    for name in sorted(os.listdir(output_folder)):
+        if not name.endswith("_stats.json"):
+            continue
+        with open(os.path.join(output_folder, name)) as f:
+            s = json.load(f)
+        total["shards"] += 1
+        for k in ("count", "successes", "failed", "duration"):
+            total[k] += s.get(k, 0)
+        for k, v in s.get("status_dict", {}).items():
+            total["status_dict"][k] = total["status_dict"].get(k, 0) + v
+    if total["count"]:
+        total["success_rate"] = total["successes"] / total["count"]
+    return total
+
+
 def done_shards(output_folder: str) -> set:
     """Scan for completed shards (incremental resume)."""
     done = set()

@@ -131,3 +131,14 @@ def test_capped_counter_prunes():
     for i in range(100):
         c.increment(f"k{i % 20}")
     assert len(c.counter) <= 10
+
+
+def test_run_summary_aggregation(tmp_path, image_urls):
+    out = tmp_path / "out"
+    summary = video2dataset(str(image_urls), output_folder=str(out),
+                            number_sample_per_shard=3,
+                            tmp_dir=str(tmp_path / "shards"))
+    assert summary["shards"] == 2
+    assert summary["successes"] == 6 and summary["failed"] == 0
+    assert summary["status_dict"].get("success") == 6
+    assert summary["success_rate"] == 1.0
