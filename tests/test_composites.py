@@ -98,3 +98,39 @@ def test_scatter_multi_image_ordering():
     got = np.array(out[0, :, 0])
     np.testing.assert_allclose(got[1:1 + n], np.arange(n))
     np.testing.assert_allclose(got[n + 2:2 + 2 * n], np.arange(n, 2 * n))
+
+
+def _naive_regression_emu2(params, cfg, prompt_ids):
+    """Reference Emu2 algorithm: full-prefix re-run per token, feeding
+    project_up(project_down(hidden)) embeds (emu.py:92-153)."""
+    b = prompt_ids.shape[0]
+    n = cfg.n_query
+    up = lambda e: L.dense(params["project_up"], e)
+    down = lambda h: L.dense(params["project_down"], h)
+    target = None
+    for i in range(n):
+        ids = np.concatenate(
+            [prompt_ids, np.full((b, 1), IMG_ID if i == 0 else IMAGE_ID)]
+            if i == 0 else [ids, np.full((b, 1), IMAGE_ID)], axis=1)
+        embeds = np.array(llama.embed(params["decoder"], jnp.asarray(ids)))
+        if target is not None:
+            embeds[:, -i:] = np.array(up(jnp.asarray(target)))
+        hidden = llama.forward_hidden(params["decoder"], cfg.llama,
+                                      jnp.asarray(embeds),
+                                      jnp.ones(ids.shape, jnp.int32))
+        target = np.array(down(hidden[:, -(i + 1):]))
+    return target
+
+
+def test_emu2_cached_regression_matches_reference_algorithm():
+    cfg = Emu2Config.tiny()
+    params = emu2.init(jax.random.PRNGKey(7), cfg)
+    prompt_ids = np.random.default_rng(1).integers(
+        3, 250, size=(2, 4)).astype(np.int32)
+
+    naive = _naive_regression_emu2(params, cfg, prompt_ids)
+
+    ids = np.concatenate([prompt_ids, np.full((2, 1), IMG_ID)], 1)
+    ours = np.array(emu2.generate_image_embeds(
+        params, cfg, jnp.asarray(ids), jnp.ones_like(ids), None, IMAGE_ID))
+    np.testing.assert_allclose(ours, naive, rtol=2e-4, atol=2e-4)
