@@ -90,6 +90,31 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
     return batch * new / dt * layers / 40.0
 
 
+def bench_llama_prefill(batch=4, seq=2048, layers=8, k=5):
+    """Prompt-processing throughput (chat TTFT driver) at true 13B layer
+    dims; flash attention auto-routes at this length (2.76x vs XLA)."""
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.models import llama
+    cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                      num_hidden_layers=layers, num_attention_heads=40,
+                      vocab_size=32000, extended_vocab_size=32004,
+                      max_position_embeddings=seq)
+    params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    ids = jnp.full((batch, seq), 7, jnp.int32)
+    mask = jnp.ones_like(ids)
+    embeds = llama.embed(params, ids)
+
+    @jax.jit
+    def loop(p, e):
+        def body(i, acc):
+            h = llama.forward_hidden(p, cfg, e + acc * 1e-8, mask)
+            return acc + jnp.sum(h[0, 0, :4].astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    dt = _time_call(loop, params, embeds)
+    return batch * seq * k / dt * layers / 40.0
+
+
 def bench_vit_4b_encode(batch=8, k=10):
     """Emu2's EVA-4B tower (448px, 1025 tokens, 64 layers) — flash-eligible."""
     from emu_tpu.config import VisionConfig
@@ -195,6 +220,8 @@ def main():
              "tok/s/chip"),
             ("llama-13B-equiv decode int8",
              functools.partial(bench_llama_decode, int8=True),
+             "tok/s/chip"),
+            ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
              "tok/s/chip"),
             ("EVA-4B ViT encode 448px", bench_vit_4b_encode, "img/s/chip"),
             ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
