@@ -40,14 +40,21 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         import glob
         import json as _json
         index = glob.glob(os.path.join(path, "*.index.json"))
-        if not index:
-            raise FileNotFoundError(f"no *.index.json in {path}")
-        with open(index[0]) as f:
-            weight_map = _json.load(f)["weight_map"]
-        out: Dict[str, np.ndarray] = {}
-        for shard in sorted(set(weight_map.values())):
-            out.update(load_state_dict(os.path.join(path, shard)))
-        return out
+        if index:
+            with open(index[0]) as f:
+                weight_map = _json.load(f)["weight_map"]
+            out: Dict[str, np.ndarray] = {}
+            for shard in sorted(set(weight_map.values())):
+                out.update(load_state_dict(os.path.join(path, shard)))
+            return out
+        # diffusers-style component dir: a single (safetensors|bin) blob
+        blobs = (glob.glob(os.path.join(path, "*.safetensors"))
+                 + glob.glob(os.path.join(path, "*.bin")))
+        if len(blobs) == 1:
+            return load_state_dict(blobs[0])
+        raise FileNotFoundError(
+            f"{path}: expected *.index.json or a single weights blob, "
+            f"found {sorted(os.path.basename(b) for b in blobs)}")
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))

@@ -144,3 +144,21 @@ def test_rouge_l():
     assert rouge_l({"1": "dog"}, {"1": ["entirely different words"]}) == 0.0
     partial = rouge_l({"1": "the cat on mat"}, refs)
     assert 0.4 < partial < 1.0
+
+
+def test_from_emu1_json_real_reference_config():
+    import os
+    path = "/root/reference/Emu1/models/Emu-14B.json"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    from emu_tpu.config import Emu1Config
+    cfg = Emu1Config.from_emu1_json(path)
+    assert cfg.vision.width == 1408 and cfg.vision.layers == 40
+    assert cfg.vision.head_width == 88 and cfg.vision.num_heads == 16
+    assert abs(cfg.vision.mlp_ratio - 4.3637) < 1e-9
+    assert cfg.vision.mlp_hidden == 6144
+    assert cfg.n_causal == 32
+    assert cfg.t5.encoder_width == 1408
+    assert cfg.llama.hidden_size == 5120
+    inst = Emu1Config.from_emu1_json(path, instruct=True)
+    assert inst.llama.extended_vocab_size == 32006
