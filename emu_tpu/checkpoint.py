@@ -39,22 +39,28 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if os.path.isdir(path):
         import glob
         import json as _json
-        index = glob.glob(os.path.join(path, "*.index.json"))
-        if index:
-            with open(index[0]) as f:
+        # HF dual-format repos may carry both .safetensors and .bin
+        # (index or blob); prefer safetensors deterministically.
+        indexes = sorted(glob.glob(os.path.join(path, "*.index.json")),
+                         key=lambda p: (".safetensors" not in p, p))
+        if indexes:
+            with open(indexes[0]) as f:
                 weight_map = _json.load(f)["weight_map"]
             out: Dict[str, np.ndarray] = {}
             for shard in sorted(set(weight_map.values())):
                 out.update(load_state_dict(os.path.join(path, shard)))
             return out
-        # diffusers-style component dir: a single (safetensors|bin) blob
-        blobs = (glob.glob(os.path.join(path, "*.safetensors"))
-                 + glob.glob(os.path.join(path, "*.bin")))
-        if len(blobs) == 1:
-            return load_state_dict(blobs[0])
+        # diffusers-style component dir: one weights blob per format
+        for pattern in ("*.safetensors", "*.bin"):
+            blobs = sorted(glob.glob(os.path.join(path, pattern)))
+            if len(blobs) == 1:
+                return load_state_dict(blobs[0])
+            if len(blobs) > 1:
+                raise ValueError(
+                    f"{path}: ambiguous weights blobs {sorted(os.path.basename(b) for b in blobs)}; "
+                    "pass the file path explicitly")
         raise FileNotFoundError(
-            f"{path}: expected *.index.json or a single weights blob, "
-            f"found {sorted(os.path.basename(b) for b in blobs)}")
+            f"{path}: no *.index.json or weights blob found")
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))

@@ -200,3 +200,28 @@ def test_sharded_index_loading(tmp_path):
     sd = C.load_state_dict(str(tmp_path))
     assert set(sd) == {"a.weight", "b.weight", "c.weight"}
     np.testing.assert_array_equal(sd["c.weight"], np.full((2, 2), 7.0))
+
+
+def test_diffusers_dir_blob_loading(tmp_path):
+    import torch as _torch
+    sd = {"x.weight": _torch.ones(2)}
+    # single .bin → loads
+    d1 = tmp_path / "unet_bin"
+    d1.mkdir()
+    _torch.save(sd, d1 / "diffusion_pytorch_model.bin")
+    assert set(C.load_state_dict(str(d1))) == {"x.weight"}
+    # both formats present → safetensors preferred
+    from safetensors.numpy import save_file
+    save_file({"y.weight": np.zeros(3, np.float32)},
+              str(d1 / "diffusion_pytorch_model.safetensors"))
+    assert set(C.load_state_dict(str(d1))) == {"y.weight"}
+    # two ambiguous safetensors blobs → explicit error
+    save_file({"z.weight": np.zeros(1, np.float32)},
+              str(d1 / "another.safetensors"))
+    with pytest.raises(ValueError):
+        C.load_state_dict(str(d1))
+    # empty dir → FileNotFoundError
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    with pytest.raises(FileNotFoundError):
+        C.load_state_dict(str(d2))
