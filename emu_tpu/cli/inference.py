@@ -20,11 +20,13 @@ from emu_tpu.generation import GenerationConfig
 from emu_tpu.models import emu1
 from emu_tpu.pipelines import preprocess
 
-image_placeholder = "[IMG]" + "<image>" * 32 + "[/IMG]"
-image_system_msg = (
-    "You will be presented with an image: [IMG]ImageContent[/IMG]. "
-    "You will be able to see the image after I provide it to you. "
-    "Please answer my questions based on the given image.")
+# canonical prompt constants live with the eval engine; the CLI and eval
+# must stay in lock-step on prompt format
+from emu_tpu.mm_eval.engine import (  # noqa: E402
+    image_placeholder,
+    image_system_msg,
+)
+
 video_system_msg = (
     "You are a helpful assistant and you will be presented with a video "
     "consisting of multiple chronological images: [IMG]ImageContent[/IMG]. "

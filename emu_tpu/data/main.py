@@ -112,9 +112,15 @@ def video2dataset(
     return summary
 
 
+_INT_ARGS = {"number_sample_per_shard", "processes_count", "thread_count",
+             "max_shard_retry", "video_size", "frame_rate"}
+_JSON_ARGS = {"save_additional_columns", "encode_formats"}
+
+
 def main():
     import argparse
     import inspect
+    import json as _json
     sig = inspect.signature(video2dataset)
     p = argparse.ArgumentParser(description=video2dataset.__doc__)
     p.add_argument("url_list")
@@ -125,8 +131,10 @@ def main():
         kw = {"default": default}
         if isinstance(default, bool):
             kw = {"action": "store_true"} if not default else kw
-        elif isinstance(default, int):
-            kw["type"] = int
+        elif name in _INT_ARGS:
+            kw["type"] = int                      # incl. None-defaulted ints
+        elif name in _JSON_ARGS:
+            kw["type"] = _json.loads              # lists/dicts as JSON
         p.add_argument(f"--{name}", **kw)
     args = vars(p.parse_args())
     video2dataset(**args)

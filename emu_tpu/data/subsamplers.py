@@ -97,10 +97,13 @@ class FrameSubsampler:
 
 
 class ClippingSubsampler:
-    """Cut clips by [start, end] spans (ref clipping_subsampler.py:23).
+    """Annotate clip spans (ref clipping_subsampler.py:23).
 
-    Image/storyboard streams pass through; video clipping selects the
-    frame range via cv2.
+    Conforms to the shared (streams, meta, err) subsampler contract: clip
+    spans from `meta["clips"]` are normalized and recorded as
+    `meta["clip_spans"]` for the training-time dataloader's CutsAdder.
+    (The reference's one-sample→many-clips ffmpeg fan-out would require a
+    fan-out-aware worker; per-clip physical splitting is a round-2 item.)
     """
 
     def __init__(self, oom_clip_count: int = 5,
@@ -110,14 +113,12 @@ class ClippingSubsampler:
     def __call__(self, streams, meta):
         clips = meta.get("clips")
         if not clips:
-            return [(streams, meta)], None
-        out = []
-        for idx, (start, end) in enumerate(clips):
-            clip_meta = dict(meta)
-            clip_meta["clip_id"] = str(idx).zfill(self.oom)
-            clip_meta["clip_span"] = [start, end]
-            out.append((streams, clip_meta))
-        return out, None
+            return streams, meta, None
+        meta["clip_spans"] = [
+            {"clip_id": str(i).zfill(self.oom),
+             "span": [float(s), float(e)]}
+            for i, (s, e) in enumerate(clips)]
+        return streams, meta, None
 
 
 class CutDetectionSubsampler:

@@ -121,7 +121,13 @@ def _greedy_or_sample(step_fn: StepFn, last_logits, cache, slot_mask,
         # new slot always attended (HF extends attention_mask with ones,
         # even for pad continuations of finished rows)
         slot_mask = slot_mask.at[:, slot].set(True)
-        logits, cache = step_fn(cache, token, slot, slot_mask, positions)
+        # skip the model call when its logits could never be consumed
+        # (final step / all rows finished) — saves one full forward
+        logits, cache = jax.lax.cond(
+            jnp.logical_and(t + 1 < t_max, ~jnp.all(finished)),
+            lambda c: step_fn(c, token, slot, slot_mask, positions),
+            lambda c: (logits, c),
+            cache)
         return (t + 1, cache, slot_mask, positions + 1, seqs, finished,
                 logits, rng, tstate)
 
@@ -248,7 +254,12 @@ def _beam_search(step_fn: StepFn, last_logits, cache, slot_mask, positions,
         pos = st["positions"][sel_rows]
         slot = prompt_len + t
         sm = st["slot_mask"][sel_rows].at[:, slot].set(True)
-        logits, cache = step_fn(cache, sel_tokens.reshape(-1), slot, sm, pos)
+        # skip the final model call whose logits the loop can never use
+        logits, cache = jax.lax.cond(
+            (t + 1 < t_max) & jnp.any(unsat) & cont,
+            lambda c: step_fn(c, sel_tokens.reshape(-1), slot, sm, pos),
+            lambda c: (st["logits"], c),
+            cache)
         return {"t": t + 1, "cache": cache, "slot_mask": sm,
                 "positions": pos + 1, "run_seqs": run_seqs,
                 "run_scores": new_run_scores, "fin_seqs": fin_seqs,

@@ -37,7 +37,12 @@ def repetition_penalty(scores: jax.Array, seqs: jax.Array,
 
 def min_length_eos_mask(scores: jax.Array, cur_len: jax.Array,
                         min_length: int, eos_token_id: int) -> jax.Array:
-    """Block EOS while fewer than min_length tokens were generated."""
+    """Block EOS while fewer than min_length tokens were generated.
+
+    A negative eos_token_id means "no EOS" (open-ended decoding) — no
+    masking, rather than silently banning the last vocab token."""
+    if eos_token_id < 0:
+        return scores
     blocked = scores.at[:, eos_token_id].set(NEG_INF)
     return jnp.where(cur_len < min_length, blocked, scores)
 

@@ -44,8 +44,11 @@ class EmuEvalModel:
                        repetition_penalty=1.0, prompt_key="prompt",
                        trie=None, **kw) -> List[str]:
         import jax.numpy as jnp
+        # bucket prompt lengths so variable-length eval batches reuse the
+        # compiled generate program (same trick as the chat pipeline)
         ids, mask = self.tokenizer.encode_batch(
-            [s[prompt_key] for s in samples], padding_side="left")
+            [s[prompt_key] for s in samples], padding_side="left",
+            pad_to_multiple=64)
         image_embeds = self._encode_images(samples)
         gcfg = GenerationConfig(
             max_new_tokens=max_new_tokens, min_length=min_length,

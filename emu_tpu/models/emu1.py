@@ -143,7 +143,8 @@ def generate_image_embeds(params: dict, cfg: Emu1Config,
 
 def forward_loss(params: dict, cfg: Emu1Config, token_ids: jax.Array,
                  attention_mask: jax.Array, image_embeds: jax.Array,
-                 special_ids: Tuple[int, int, int, int]) -> jax.Array:
+                 special_ids: Tuple[int, int, int, int],
+                 remat: bool = False) -> jax.Array:
     """Masked shifted cross-entropy (ref modeling_llama.py:189-252).
 
     special_ids: (pad, img_start, img_end, image). Returns mean CE over
@@ -152,7 +153,7 @@ def forward_loss(params: dict, cfg: Emu1Config, token_ids: jax.Array,
     pad_id, img_id, img_end_id, image_id = special_ids
     embeds = scatter_image_embeds(params, token_ids, image_embeds, image_id)
     hidden = llama.forward_hidden(params["decoder"], cfg.llama, embeds,
-                                  attention_mask)
+                                  attention_mask, remat=remat)
     logits = llama.logits(params["decoder"], hidden).astype(jnp.float32)
 
     ignore = ((token_ids == pad_id) | (token_ids == img_id)

@@ -87,6 +87,10 @@ class EmuVisualGeneration:
                 images.append(preprocess.preprocess_image(x, size))
 
         if has_image and not has_text:          # autoencoding mode
+            # ref diffusion.py:194: "you can ONLY input exactly one image"
+            assert len(images) == 1, (
+                "autoencoding mode takes exactly one image "
+                f"(got {len(images)}); add text for generation mode")
             batch = jnp.asarray(np.stack(images))
             prompt = emu2.encode_image(self.emu_params, self.emu_cfg, batch)
             if do_cfg:

@@ -175,18 +175,20 @@ class EmuTokenizer:
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True
                ) -> str:
-        specials = set(self._special_ids.values())
-        specials |= {self.bos_token_id, self.eos_token_id}
+        inv = {v: k for k, v in self._special_ids.items()}
+        inv[self.bos_token_id] = BOS
+        inv[self.eos_token_id] = EOS
         out, chunk = [], []
         for i in ids:
             i = int(i)
+            # base-vocab ids (including <unk>=0) flow to the backend;
+            # only added specials and bos/eos break the chunk
             if i >= self.base_vocab or i in (self.bos_token_id,
-                                             self.eos_token_id, 0):
+                                             self.eos_token_id):
                 if chunk:
                     out.append(self.backend.decode(chunk))
                     chunk = []
-                if not skip_special_tokens and i in specials:
-                    inv = {v: k for k, v in self._special_ids.items()}
+                if not skip_special_tokens:
                     out.append(inv.get(i, ""))
             else:
                 chunk.append(i)

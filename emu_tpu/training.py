@@ -32,32 +32,18 @@ def make_emu1_train_step(cfg, tx, special_ids: Tuple[int, int, int, int],
       P("data") sharding before calling — GSPMD handles the rest.
     """
     import optax  # noqa: F401  (documented dependency)
-    from emu_tpu.models import emu1, llama, vit
+    from emu_tpu.models import causal_former, emu1, vit
     from emu_tpu.ops import layers as L
-    from emu_tpu.models import causal_former
 
     def loss_fn(params, images, token_ids, attention_mask):
         feats = vit.forward_features(params["visual"], cfg.vision, images,
                                      remat=remat)
         feats = L.layer_norm(params["ln_visual"], feats, eps=1e-6)
         vis = causal_former.forward(params["cformer"], cfg.t5, feats)
-        embeds = emu1.scatter_image_embeds(
-            params, token_ids, vis.reshape(-1, vis.shape[-1]),
-            special_ids[3])
-        hidden = llama.forward_hidden(params["decoder"], cfg.llama, embeds,
-                                      attention_mask, remat=remat)
-        logits = llama.logits(params["decoder"],
-                              hidden).astype(jnp.float32)
-        pad_id, img_id, img_end_id, image_id = special_ids
-        ignore = ((token_ids == pad_id) | (token_ids == img_id)
-                  | (token_ids == img_end_id) | (token_ids == image_id))
-        shift_labels = token_ids[:, 1:]
-        shift_valid = (~ignore[:, 1:]) & attention_mask[:, 1:].astype(bool)
-        logprobs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-        ll = jnp.take_along_axis(logprobs, shift_labels[:, :, None],
-                                 axis=-1)[..., 0]
-        return -jnp.sum(ll * shift_valid) / jnp.maximum(
-            jnp.sum(shift_valid), 1)
+        # single source of truth for the masked-CE objective
+        return emu1.forward_loss(params, cfg, token_ids, attention_mask,
+                                 vis.reshape(-1, vis.shape[-1]),
+                                 special_ids, remat=remat)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, token_ids, attention_mask):
