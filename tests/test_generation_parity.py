@@ -145,3 +145,37 @@ def test_contrastive_search_behavior(models):
     assert contrastive.shape == greedy.shape
     # with a real penalty the trajectory should diverge from pure greedy
     assert not np.array_equal(contrastive, greedy)
+
+
+def test_logits_warpers_match_hf():
+    """top-k / top-p / repetition-penalty filters vs HF warpers on fixed
+    logits (pure tensor transforms, no RNG)."""
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor, TopKLogitsWarper, TopPLogitsWarper)
+    from emu_tpu.generation import logits_process as lp
+
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal((3, 50)).astype(np.float32)
+    t_scores = torch.tensor(scores)
+    dummy_ids = torch.zeros((3, 4), dtype=torch.long)
+
+    def match(ours, theirs):
+        ours = np.asarray(ours)
+        theirs = theirs.numpy()
+        # compare as masks + surviving values (HF uses -inf, we use -1e30)
+        np.testing.assert_array_equal(ours < -1e20, np.isinf(theirs))
+        keep = ~np.isinf(theirs)
+        np.testing.assert_allclose(ours[keep], theirs[keep], rtol=1e-6)
+
+    match(lp.top_k_filter(jnp.asarray(scores), 7),
+          TopKLogitsWarper(7)(dummy_ids, t_scores.clone()))
+    match(lp.top_p_filter(jnp.asarray(scores), 0.8),
+          TopPLogitsWarper(0.8)(dummy_ids, t_scores.clone()))
+
+    # repetition penalty over generated ids
+    gen = np.array([[5, 9, 5, 2], [1, 1, 3, 4], [7, 8, 9, 10]])
+    ours = lp.repetition_penalty(jnp.asarray(scores), jnp.asarray(gen),
+                                 jnp.ones_like(jnp.asarray(gen), bool), 1.6)
+    theirs = RepetitionPenaltyLogitsProcessor(1.6)(
+        torch.tensor(gen), t_scores.clone())
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-6)
