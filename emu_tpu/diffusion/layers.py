@@ -74,18 +74,18 @@ def attention(p: dict, x: jax.Array, ctx: Optional[jax.Array],
               n_heads: int) -> jax.Array:
     """Diffusers-style attention: to_q/k/v bias-free, to_out with bias.
 
-    x: [B, N, C]; ctx: [B, M, C_ctx] (None → self-attention)."""
+    x: [B, N, C]; ctx: [B, M, C_ctx] (None → self-attention). Routed
+    through the shared dispatcher so the 1024-4096-token latent
+    self-attention of the 128² SDXL UNet runs on the Pallas flash kernel
+    instead of materializing the N² logits in HBM."""
+    from emu_tpu.ops.attention import dot_product_attention
     b, n, c = x.shape
     kv = x if ctx is None else ctx
     hd = c // n_heads
     q = L.dense(p["to_q"], x).reshape(b, n, n_heads, hd)
     k = L.dense(p["to_k"], kv).reshape(b, kv.shape[1], n_heads, hd)
     v = L.dense(p["to_v"], kv).reshape(b, kv.shape[1], n_heads, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (hd ** -0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = dot_product_attention(q, k, v, scale=hd ** -0.5)
     return L.dense(p["to_out"], o.reshape(b, n, c))
 
 

@@ -39,9 +39,42 @@ def _mid(p, x, groups):
     b, h, w, c = x.shape
     res = x
     a = D.group_norm(p["attention"]["group_norm"], x, groups, 1e-6)
-    a = D.attention(p["attention"], a.reshape(b, h * w, c), None, 1)
+    a = _vae_attention(p["attention"], a.reshape(b, h * w, c))
     x = res + a.reshape(b, h, w, c)
     return D.resnet_block(p["resnets"][1], x, None, groups, 1e-6)
+
+
+def _vae_attention(p, x, chunk: int = 4096):
+    """Single-head mid-block attention, Q-chunked above `chunk` tokens.
+
+    At 1024² generation the decoder's mid block attends over 128²=16384
+    tokens with 512 channels; materializing the full 16384² logits costs
+    1 GB fp32 — chunking queries bounds it to chunk×N while staying exact.
+    (The head dim of 512 exceeds the flash kernel's VMEM budget at this
+    length, so this stays on XLA.)
+    """
+    import jax
+    b, n, c = x.shape
+    if n <= chunk:
+        return D.attention(p, x, None, 1)
+    from emu_tpu.ops import layers as L
+    q = L.dense(p["to_q"], x)
+    k = L.dense(p["to_k"], x)
+    v = L.dense(p["to_v"], x)
+    pad = (-n) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    qc = qp.reshape(b, -1, chunk, c)
+
+    def one_chunk(q_blk):
+        logits = jnp.einsum("bqc,bkc->bqk", q_blk, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (c ** -0.5), axis=-1)
+        return jnp.einsum("bqk,bkc->bqc", probs.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    o = jax.lax.map(one_chunk, qc.transpose(1, 0, 2, 3))
+    o = o.transpose(1, 0, 2, 3).reshape(b, -1, c)[:, :n]
+    return L.dense(p["to_out"], o)
 
 
 def init(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> dict:

@@ -130,3 +130,22 @@ def test_vae_roundtrip_shapes():
     dec = vae.decode(params, cfg, mean)
     assert dec.shape == (1, 16, 16, 3)
     assert np.isfinite(np.array(dec)).all()
+
+
+def test_vae_chunked_attention_matches_dense():
+    from emu_tpu.diffusion.vae import _vae_attention
+    from emu_tpu.diffusion import layers as DL
+    rng = np.random.default_rng(5)
+    c = 16
+    p = {
+        "to_q": {"kernel": jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .1)},
+        "to_k": {"kernel": jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .1)},
+        "to_v": {"kernel": jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .1)},
+        "to_out": {"kernel": jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .1),
+                   "bias": jnp.zeros(c)},
+    }
+    x = jnp.asarray(rng.standard_normal((2, 50, c)).astype(np.float32))
+    dense = DL.attention(p, x, None, 1)
+    chunked = _vae_attention(p, x, chunk=16)     # 50 → 4 chunks with pad
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
