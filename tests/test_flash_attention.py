@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from emu_tpu.ops.attention import _xla_attention
-from emu_tpu.ops.flash_attention import flash_attention
+from emu_tpu.ops.flash_attention import (_STREAMING_THRESHOLD,
+                                         _flash_streaming, flash_attention)
 
 
 def _rand(key, shape):
@@ -44,6 +45,56 @@ def test_flash_cross_lengths():
     q = _rand(20, (b, sq, h, d))
     k = _rand(21, (b, skv, h, d))
     v = _rand(22, (b, skv, h, d))
+    ref = _xla_attention(q, k, v, None, None, None, d ** -0.5, True)
+    out = flash_attention(q, k, v, scale=d ** -0.5, causal=True,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+# --- streaming (multi-kv-block running-softmax) variant --------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_streaming_matches_xla(causal):
+    """Small bk forces several kv blocks through the running softmax."""
+    b, h, d = 2, 2, 64
+    sq, skv = 67, 300
+    q = _rand(30, (b, sq, h, d))
+    k = _rand(31, (b, skv, h, d))
+    v = _rand(32, (b, skv, h, d))
+    ref = _xla_attention(q, k, v, None, None, None, d ** -0.5, causal)
+    out = _flash_streaming(q, k, v, None, d ** -0.5, causal, True, bk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_streaming_fully_masked_leading_block():
+    """Left padding covering a whole kv block must wash out of the
+    accumulator via the exp(m_prev - m_new) correction."""
+    b, h, d = 1, 2, 32
+    sq = skv = 264
+    q, k, v = (_rand(40 + i, (b, s_, h, d)) for i, s_ in
+               enumerate((sq, skv, skv)))
+    kv_valid = np.ones((b, skv), np.int32)
+    kv_valid[0, :128] = 0                    # block 0 (bk=128) fully masked
+    ref = _xla_attention(q, k, v, None, None, jnp.asarray(kv_valid),
+                         d ** -0.5, True)
+    out = _flash_streaming(q, k, v, jnp.asarray(kv_valid), d ** -0.5, True,
+                           True, bk=128)
+    valid = kv_valid.astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_streaming_routing_threshold():
+    """flash_attention auto-routes to the streaming kernel past the
+    VMEM-whole-K/V ceiling (decode-shaped: short q, long cache)."""
+    b, h, d = 1, 2, 64
+    sq, skv = 16, _STREAMING_THRESHOLD + 128
+    q = _rand(50, (b, sq, h, d))
+    k = _rand(51, (b, skv, h, d))
+    v = _rand(52, (b, skv, h, d))
     ref = _xla_attention(q, k, v, None, None, None, d ** -0.5, True)
     out = flash_attention(q, k, v, scale=d ** -0.5, causal=True,
                           interpret=True)
