@@ -57,7 +57,7 @@ def bench_vit_encode(batch=32, k=25):
     @jax.jit
     def loop(p, x):
         def body(i, acc):
-            out = vit.forward_features(p, cfg, x + acc * 1e-8)
+            out = vit.forward_features(p, cfg, x + (acc * 1e-8).astype(x.dtype))
             return acc + jnp.sum(out[0, 0, :4].astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
@@ -107,7 +107,7 @@ def bench_llama_prefill(batch=4, seq=2048, layers=8, k=5):
     @jax.jit
     def loop(p, e):
         def body(i, acc):
-            h = llama.forward_hidden(p, cfg, e + acc * 1e-8, mask)
+            h = llama.forward_hidden(p, cfg, e + (acc * 1e-8).astype(e.dtype), mask)
             return acc + jnp.sum(h[0, 0, :4].astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
@@ -127,7 +127,7 @@ def bench_vit_4b_encode(batch=8, k=10):
     @jax.jit
     def loop(p, x):
         def body(i, acc):
-            out = vit.forward_features(p, cfg, x + acc * 1e-8)
+            out = vit.forward_features(p, cfg, x + (acc * 1e-8).astype(x.dtype))
             return acc + jnp.sum(out[0, 0, :4].astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 

@@ -68,20 +68,24 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if backend is None:
-        backend = _auto_backend(q, bias, mask)
+        backend = _auto_backend(q, k, bias, mask, kv_valid, causal)
     if backend == "flash":
         from emu_tpu.ops import flash_attention as fa
         return fa.flash_attention(q, k, v, kv_valid=kv_valid,
                                   scale=float(scale), causal=causal)
+    if backend == "batched_mha":
+        from emu_tpu.ops import flash_attention as fa
+        return fa.batched_mha(q, k, v, scale=float(scale))
     return _xla_attention(q, k, v, bias, mask, kv_valid, scale, causal)
 
 
-def _auto_backend(q, bias, mask) -> str:
-    # Measured on v5e-1: the Pallas kernel wins 1.36x at the Emu2 ViT shape
-    # (1025 tokens) and 2.79x at 2048-token causal LM prefill, but loses at
-    # 257 tokens (head-dim padding tax dominates the tiny logits tensor) —
-    # so the crossover threshold is Sq >= 512. EMU_TPU_FLASH=1/0 forces
-    # the routing either way.
+def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
+    # Measured on v5e-1: the per-(batch, head) Pallas kernel wins 1.36x at
+    # the Emu2 ViT shape (1025 tokens) and 2.79x at 2048-token causal LM
+    # prefill; below 512 tokens its 512 tiny programs lose to MXU
+    # weight-load latency, and the per-batch all-heads kernel (batched_mha,
+    # 785 vs 1167 us/layer at ViT-g 257 tokens) takes over for the
+    # unmasked self-attention case. EMU_TPU_FLASH=1/0 forces flash/xla.
     import os
     force = os.environ.get("EMU_TPU_FLASH")
     if force == "0":
@@ -93,5 +97,15 @@ def _auto_backend(q, bias, mask) -> str:
     if force == "1":
         return "flash"
     if q.shape[1] < 512 or q.shape[-1] > 256:
+        d_lanes = (q.shape[-1] + 127) // 128 * 128
+        # 4 all-head tensors, double-buffered by Mosaic → 16MB scoped limit
+        vmem = 8 * q.shape[2] * _round8(q.shape[1]) * d_lanes * q.dtype.itemsize
+        if (not causal and kv_valid is None and q.shape[1] == k.shape[1]
+                and q.shape[1] >= 64 and q.shape[-1] <= 256 and vmem < 10e6):
+            return "batched_mha"
         return "xla"
     return "flash"
+
+
+def _round8(x: int) -> int:
+    return (x + 7) // 8 * 8

@@ -183,6 +183,62 @@ def _flash_streaming(q, k, v, kv_valid, scale, causal, interpret,
     return out.transpose(0, 2, 1, 3)[:, :sq, :, :d]
 
 
+# ---------------------------------------------------------------------------
+# Short-sequence variant: one program per batch item, all heads unrolled.
+# At ViT shapes (S=257, 16 heads of 88) a per-(batch, head) grid means 512
+# tiny programs whose MXU weight-load latency dominates; batching the heads
+# into one program (400 MFLOP each) measured 785 us/layer vs 1167 us for
+# the XLA einsum path at the ViT-g shape on v5e-1.
+# ---------------------------------------------------------------------------
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h, s_real):
+    s_pad = q_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    keep = col < s_real
+    for hh in range(h):          # static unroll
+        q = q_ref[0, hh].astype(jnp.float32)
+        k = k_ref[0, hh].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(keep, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, hh],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, hh] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def batched_mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                scale: float = 1.0, interpret: bool = False) -> jax.Array:
+    """Unmasked short-sequence self-attention, q/k/v [B, S, H, D].
+
+    The ViT encoder path (no mask, no bias, S a few hundred). Head dim
+    stays unpadded in HBM (Mosaic pads lanes VMEM-side for free)."""
+    b, s, h, d = q.shape
+    s_pad = _round_up(s, 8)
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3)            # [B, H, S', D]
+
+    kernel = functools.partial(_mha_kernel, scale=scale, h=h, s_real=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, s_pad, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, h, s_pad, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(prep(q), prep(k), prep(v))
+    return out.transpose(0, 2, 1, 3)[:, :s]
+
+
 # K/V for one (batch, head) beyond this stay out of single-pass VMEM
 _STREAMING_THRESHOLD = 4096
 

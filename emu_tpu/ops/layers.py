@@ -99,12 +99,45 @@ def rms_norm(scale: jax.Array, x: jax.Array, eps: float = 1e-6) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _use_fused_mlp(params, x, names) -> bool:
+    # Fused pallas MLP: TPU only, unquantized, no inner LN, enough rows to
+    # fill the row-block pipeline, and blocks within the 16MB scoped-VMEM
+    # budget. EMU_TPU_FUSED_MLP=0 forces the unfused path.
+    import os
+    if os.environ.get("EMU_TPU_FUSED_MLP") == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if "ffn_ln" in params or any("kernel" not in params[n] for n in names):
+        return False
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    k = x.shape[-1]
+    n = params[names[-1]]["kernel"].shape[1]
+    itm = x.dtype.itemsize
+    n_in = len(names) - 1                 # hidden-side weight matrices
+    # Mosaic's scoped footprint: single-buffered x/acc, double-buffered
+    # weight streams. ViT-g gelu (k=n=1408, bf16) measures ~15M and
+    # compiles; the 16MB scoped-vmem limit is the real ceiling.
+    vmem = (512 * k * itm + n_in * 2 * k * 768 * itm + 2 * 768 * n * itm
+            + 512 * n * 4 + 2 * 512 * n * itm)
+    return m >= 2048 and vmem < 21e6
+
+
 def gelu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
              ) -> jax.Array:
     """ViT MLP: Linear → exact GELU → (optional sub-LN) → Linear.
 
     Ref: Emu1/models/eva_vit_model.py Mlp (torch nn.GELU = exact erf gelu).
+    On TPU, big unquantized shapes run as one fused pallas kernel (the erf
+    GELU executes in the MXU's shadow; see ops/fused_mlp.py).
     """
+    if _use_fused_mlp(params, x, ("fc1", "fc2")):
+        from emu_tpu.ops.fused_mlp import fused_mlp
+        return fused_mlp(x, params["fc1"]["kernel"], params["fc1"].get("bias"),
+                         params["fc2"]["kernel"], params["fc2"].get("bias"),
+                         bf=768)
     h = dense(params["fc1"], x)
     h = jax.nn.gelu(h, approximate=False)
     if "ffn_ln" in params:
@@ -118,6 +151,12 @@ def swiglu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
 
     Ref: Emu2/emu/eva_vit.py SwiGLU (:110-140).
     """
+    if _use_fused_mlp(params, x, ("w1", "w2", "w3")):
+        from emu_tpu.ops.fused_mlp import fused_mlp
+        return fused_mlp(x, params["w1"]["kernel"], params["w1"].get("bias"),
+                         params["w2"]["kernel"], params["w2"].get("bias"),
+                         params["w3"]["kernel"], params["w3"].get("bias"),
+                         activation="swiglu", bf=768)
     h = jax.nn.silu(dense(params["w1"], x)) * dense(params["w2"], x)
     if "ffn_ln" in params:
         h = layer_norm(params["ffn_ln"], h, eps=subln_eps or 1e-6)

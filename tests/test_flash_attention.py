@@ -7,7 +7,8 @@ import jax.numpy as jnp
 
 from emu_tpu.ops.attention import _xla_attention
 from emu_tpu.ops.flash_attention import (_STREAMING_THRESHOLD,
-                                         _flash_streaming, flash_attention)
+                                         _flash_streaming, batched_mha,
+                                         flash_attention)
 
 
 def _rand(key, shape):
@@ -98,5 +99,19 @@ def test_streaming_routing_threshold():
     ref = _xla_attention(q, k, v, None, None, None, d ** -0.5, True)
     out = flash_attention(q, k, v, scale=d ** -0.5, causal=True,
                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+# --- per-batch all-heads kernel (short unmasked self-attention) -------------
+
+
+@pytest.mark.parametrize("s,d", [(257, 88), (130, 64)])
+def test_batched_mha_matches_xla(s, d):
+    """ViT-shaped: odd sequence, non-128 head dim, all heads per program."""
+    b, h = 2, 4
+    q, k, v = (_rand(60 + i, (b, s, h, d)) for i in range(3))
+    ref = _xla_attention(q, k, v, None, None, None, d ** -0.5, False)
+    out = batched_mha(q, k, v, scale=d ** -0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
                                atol=2e-3)
