@@ -170,12 +170,23 @@ def _block(cfg: VisionConfig, p: dict, x: jax.Array,
     def scaled(y, g):
         return y if g is None else y * g.astype(y.dtype)
 
+    def fused_mlp_branch(h):
+        # LN + MLP + residual in one pallas kernel (layerscale blocks it)
+        if g2 is not None:
+            return None
+        return L.fused_block_mlp(p["norm2"], p["mlp"], h, cfg.ln_eps,
+                                 cfg.postnorm)
+
     if cfg.postnorm:
         x = x + scaled(L.layer_norm(p["norm1"], attn(x), cfg.ln_eps), g1)
-        x = x + scaled(L.layer_norm(p["norm2"], mlp(x), cfg.ln_eps), g2)
+        y = fused_mlp_branch(x)
+        x = y if y is not None else (
+            x + scaled(L.layer_norm(p["norm2"], mlp(x), cfg.ln_eps), g2))
     else:
         x = x + scaled(attn(L.layer_norm(p["norm1"], x, cfg.ln_eps)), g1)
-        x = x + scaled(mlp(L.layer_norm(p["norm2"], x, cfg.ln_eps)), g2)
+        y = fused_mlp_branch(x)
+        x = y if y is not None else (
+            x + scaled(mlp(L.layer_norm(p["norm2"], x, cfg.ln_eps)), g2))
     return x
 
 

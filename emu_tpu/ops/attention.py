@@ -96,16 +96,11 @@ def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
         return "xla"
     if force == "1":
         return "flash"
+    from emu_tpu.ops.flash_attention import mha_fits
+    if (not causal and kv_valid is None and q.shape[1] == k.shape[1]
+            and 64 <= q.shape[1] and q.shape[-1] <= 256
+            and mha_fits(q.shape[1], q.shape[-1], q.dtype.itemsize)):
+        return "batched_mha"
     if q.shape[1] < 512 or q.shape[-1] > 256:
-        d_lanes = (q.shape[-1] + 127) // 128 * 128
-        # 4 all-head tensors, double-buffered by Mosaic → 16MB scoped limit
-        vmem = 8 * q.shape[2] * _round8(q.shape[1]) * d_lanes * q.dtype.itemsize
-        if (not causal and kv_valid is None and q.shape[1] == k.shape[1]
-                and q.shape[1] >= 64 and q.shape[-1] <= 256 and vmem < 10e6):
-            return "batched_mha"
         return "xla"
     return "flash"
-
-
-def _round8(x: int) -> int:
-    return (x + 7) // 8 * 8

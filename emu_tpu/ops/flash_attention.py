@@ -192,11 +192,11 @@ def _flash_streaming(q, k, v, kv_valid, scale, causal, interpret,
 # ---------------------------------------------------------------------------
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h, s_real):
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hb, s_real):
     s_pad = q_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     keep = col < s_real
-    for hh in range(h):          # static unroll
+    for hh in range(hb):         # static unroll over the head block
         q = q_ref[0, hh].astype(jnp.float32)
         k = k_ref[0, hh].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -211,27 +211,55 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h, s_real):
         o_ref[0, hh] = (o / denom).astype(o_ref.dtype)
 
 
+def mha_head_block(s: int, h: int, d: int, itemsize: int) -> int:
+    """Largest head count per program fitting the scoped-VMEM budget.
+
+    4 all-head-block tensors double-buffered, plus ~2.5 logits-sized fp32
+    temporaries (s, p, casts), against the 16MB scoped limit."""
+    s_pad = _round_up(s, 8)
+    d_lanes = _round_up(max(d, 128), 128)
+    per_head = 8 * s_pad * d_lanes * itemsize
+    logits_tmp = 2.5 * s_pad * _round_up(s_pad, 128) * 4
+    hb = max(1, min(h, int((14e6 - logits_tmp) // per_head)))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
+def mha_fits(s: int, d: int, itemsize: int) -> bool:
+    """True if one head of batched_mha fits the scoped-VMEM budget."""
+    s_pad = _round_up(s, 8)
+    d_lanes = _round_up(max(d, 128), 128)
+    per_head = 8 * s_pad * d_lanes * itemsize
+    logits_tmp = 2.5 * s_pad * _round_up(s_pad, 128) * 4
+    return per_head + logits_tmp <= 15e6
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def batched_mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 scale: float = 1.0, interpret: bool = False) -> jax.Array:
     """Unmasked short-sequence self-attention, q/k/v [B, S, H, D].
 
-    The ViT encoder path (no mask, no bias, S a few hundred). Head dim
+    The ViT encoder path (no mask, no bias, S a few hundred to ~1k).
+    One program computes a block of heads for one batch item — big enough
+    to amortize MXU weight-load latency, small enough for VMEM. Head dim
     stays unpadded in HBM (Mosaic pads lanes VMEM-side for free)."""
     b, s, h, d = q.shape
     s_pad = _round_up(s, 8)
+    hb = mha_head_block(s, h, d, q.dtype.itemsize)
 
     def prep(x):
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         return x.transpose(0, 2, 1, 3)            # [B, H, S', D]
 
-    kernel = functools.partial(_mha_kernel, scale=scale, h=h, s_real=s)
+    kernel = functools.partial(_mha_kernel, scale=scale, hb=hb, s_real=s)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, s_pad, d), lambda i: (i, 0, 0, 0),
+        grid=(b, h // hb),
+        in_specs=[pl.BlockSpec((1, hb, s_pad, d),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((1, h, s_pad, d), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hb, s_pad, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
         interpret=interpret,

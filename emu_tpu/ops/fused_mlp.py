@@ -1,21 +1,24 @@
-"""Pallas fused transformer MLP: fc1 → activation → fc2 in one kernel.
+"""Pallas fused transformer MLP: [LN →] fc1 → activation → fc2 [→ LN]
+[→ +residual] in one kernel.
 
 Why: the ViT's exact-GELU (torch nn.GELU, ref Emu1/models/eva_vit_model.py
-Mlp) is erf-based and VPU-compute-bound — measured 1.22 ms/layer on v5e-1
-at the ViT-g shape [32·257, 6144], MORE than fc1's entire MXU time. Run
-unfused it serializes with the matmuls. Fused, the erf polynomial executes
-on the VPU in the shadow of the MXU's fc2 tiles, and the [M, hidden]
-intermediate never touches HBM.
+Mlp) is erf-based and VPU-heavy; run unfused it serializes with the
+matmuls and the [M, hidden] intermediate round-trips HBM. Fused, the erf
+polynomial executes on the VPU in the shadow of the MXU's fc2 tiles.
+Folding the block's LayerNorm (pre-norm Emu1 or post-norm Emu2, ref
+eva_vit_model.py:367-426) and the residual add into the same kernel
+removes two more whole-tensor HBM passes per block.
 
 Blocking: grid (M/bm, hidden/bf), hidden minor. The x row-block is
 resident across the inner loop (index map constant in j), fc2 partial sums
 accumulate in an fp32 VMEM scratch, and each program computes
-  h = act(x_blk @ w1[:, j] + b1[j]);  acc += h @ w2[j, :]
+  h = act(xn @ w1[:, j] + b1[j]);  acc += h @ w2[j, :]
 so weight traffic (w1+w2 re-streamed per row block) stays under the MXU
-time at the Emu shapes (~0.7 ms DMA vs ~1.8 ms MXU per ViT-g layer).
+time at the Emu shapes.
 
-Supports the two Emu MLP families: exact-GELU (ViT-g) and SwiGLU
-(EVA-4B: silu(x@w1) * (x@w2) @ w3, ref Emu2/emu/eva_vit.py:110-140).
+Supports the two Emu MLP families: exact-GELU (ViT-g, EVA-4B) and SwiGLU
+(EVA rope variants: silu(x@w1) * (x@w2) @ w3, ref Emu2/emu/eva_vit.py:
+110-140).
 """
 
 from __future__ import annotations
@@ -34,8 +37,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _erf(x):
     # Mosaic has no erf/erfc primitive; Abramowitz & Stegun 7.1.26 rational
-    # approximation (max abs error 1.5e-7 — far below bf16 resolution, so
-    # outputs match jax.nn.gelu(approximate=False) bit-for-bit after the
+    # approximation (max abs error ~4e-7 in fp32 — far below bf16
+    # resolution, so outputs match jax.nn.gelu(approximate=False) after the
     # bf16 cast in practice). Built from exp + mul/div, all VPU-native.
     a = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * a)
@@ -50,49 +53,70 @@ def _exact_gelu(x):
     return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
-def _gelu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-
-    @pl.when(j == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
-
-    h = jax.lax.dot_general(x_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = h + b1_ref[0].astype(jnp.float32)
-    h = _exact_gelu(h)
-    acc[:] += jax.lax.dot_general(h.astype(x_ref.dtype), w2_ref[:],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-
-    @pl.when(j == nj - 1)
-    def _():
-        o_ref[:] = (acc[:] + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+def _layer_norm32(x32, scale_ref, bias_ref, eps):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale_ref[0].astype(jnp.float32)
+            + bias_ref[0].astype(jnp.float32))
 
 
-def _swiglu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                   o_ref, acc):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+def _make_kernel(activation: str, ln_mode, residual: bool, eps: float):
+    """Kernel ref order: x, (w, b) pairs, [ln_scale, ln_bias], o, acc, [xn].
 
-    @pl.when(j == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
+    ln_mode "pre":  y = fc(act(fc(LN(x)))) — LN cached in the xn scratch at
+                    j==0 (the x block is resident across the inner loop).
+    ln_mode "post": y = LN(fc(act(fc(x)))).
+    residual:       y += x (the pre-LN input), fp32 add before the cast.
+    """
+    nw = 3 if activation == "swiglu" else 2
 
-    g = jax.lax.dot_general(x_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    g = jax.nn.silu(g + b1_ref[0].astype(jnp.float32))
-    u = jax.lax.dot_general(x_ref[:], w2_ref[:], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    u = u + b2_ref[0].astype(jnp.float32)
-    h = (g * u).astype(x_ref.dtype)
-    acc[:] += jax.lax.dot_general(h, w3_ref[:], (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    def kernel(*refs):
+        idx = 0
+        x_ref = refs[idx]; idx += 1
+        wb = refs[idx:idx + 2 * nw]; idx += 2 * nw
+        if ln_mode:
+            lns_ref, lnb_ref = refs[idx:idx + 2]; idx += 2
+        o_ref = refs[idx]; idx += 1
+        acc = refs[idx]; idx += 1
+        xn = refs[idx] if ln_mode == "pre" else x_ref
 
-    @pl.when(j == nj - 1)
-    def _():
-        o_ref[:] = (acc[:] + b3_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            if ln_mode == "pre":
+                xn[:] = _layer_norm32(x_ref[:].astype(jnp.float32),
+                                      lns_ref, lnb_ref, eps).astype(xn.dtype)
+
+        def dot(a, b_ref):
+            return jax.lax.dot_general(a, b_ref[:], (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        if activation == "swiglu":
+            g = jax.nn.silu(dot(xn[:], wb[0]) + wb[1][0].astype(jnp.float32))
+            u = dot(xn[:], wb[2]) + wb[3][0].astype(jnp.float32)
+            h = (g * u).astype(x_ref.dtype)
+            acc[:] += dot(h, wb[4])
+            b_out = wb[5]
+        else:
+            h = dot(xn[:], wb[0]) + wb[1][0].astype(jnp.float32)
+            h = _exact_gelu(h)
+            acc[:] += dot(h.astype(x_ref.dtype), wb[2])
+            b_out = wb[3]
+
+        @pl.when(j == nj - 1)
+        def _():
+            y = acc[:] + b_out[0].astype(jnp.float32)
+            if ln_mode == "post":
+                y = _layer_norm32(y, lns_ref, lnb_ref, eps)
+            if residual:
+                y = y + x_ref[:].astype(jnp.float32)
+            o_ref[:] = y.astype(o_ref.dtype)
+
+    return kernel
 
 
 def _bias2d(b, f, dtype):
@@ -102,17 +126,22 @@ def _bias2d(b, f, dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "bf", "interpret", "activation"))
+                   static_argnames=("bm", "bf", "interpret", "activation",
+                                    "ln_mode", "residual", "eps"))
 def fused_mlp(x: jax.Array, w1: jax.Array, b1, w2: jax.Array, b2,
-              w3=None, b3=None, *, activation: str = "gelu",
-              bm: int = 512, bf: int = 512,
+              w3=None, b3=None, ln_scale=None, ln_bias=None, *,
+              activation: str = "gelu", ln_mode=None, residual: bool = False,
+              eps: float = 1e-6, bm: int = 512, bf: int = 512,
               interpret: bool = False) -> jax.Array:
-    """x [..., K] → [..., N] through fc1/act/fc2 (or SwiGLU w1/w2/w3).
+    """x [..., K] → [..., N] through [LN →] fc1/act/fc2 [→ LN] [→ +x].
 
     gelu:   act(x@w1+b1) @ w2 + b2, exact (erf) GELU.
     swiglu: (silu(x@w1+b1) * (x@w2+b2)) @ w3 + b3.
-    Biases may be None. Hidden dim is zero-padded to bf: padded h columns
-    are act(0)=0 (gelu) or silu(0)*0=0 (swiglu) and hit zero w2/w3 rows.
+    ln_mode "pre"/"post" folds the block LayerNorm in (fp32, matching
+    ops.layers.layer_norm); residual=True adds the kernel input back
+    (requires N == K). Biases may be None. Hidden dim is zero-padded to
+    bf: padded h columns are act(0)=0 (gelu) or silu(0)*0=0 (swiglu) and
+    hit zero w2/w3 rows.
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -129,41 +158,42 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1, w2: jax.Array, b2,
         return jnp.pad(w, pads)
 
     grid = (m_pad // bm, f_pad // bf)
+    row_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0))
+    col_w = pl.BlockSpec((k, bf), lambda i, j: (0, j))
+    col_b = pl.BlockSpec((1, bf), lambda i, j: (0, j))
     if activation == "swiglu":
         n = w3.shape[1]
-        args = (xf, padf(w1, 1), padf(_bias2d(b1, f, x.dtype), 1),
+        args = [xf, padf(w1, 1), padf(_bias2d(b1, f, x.dtype), 1),
                 padf(w2, 1), padf(_bias2d(b2, f, x.dtype), 1),
-                padf(w3, 0), _bias2d(b3, n, x.dtype))
-        kernel = _swiglu_kernel
-        in_specs = [
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((k, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((k, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((bf, n), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-        ]
+                padf(w3, 0), _bias2d(b3, n, x.dtype)]
+        in_specs = [row_spec, col_w, col_b, col_w, col_b,
+                    pl.BlockSpec((bf, n), lambda i, j: (j, 0)),
+                    pl.BlockSpec((1, n), lambda i, j: (0, 0))]
     else:
         n = w2.shape[1]
-        args = (xf, padf(w1, 1), padf(_bias2d(b1, f, x.dtype), 1),
-                padf(w2, 0), _bias2d(b2, n, x.dtype))
-        kernel = _gelu_kernel
-        in_specs = [
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((k, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((bf, n), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-        ]
+        args = [xf, padf(w1, 1), padf(_bias2d(b1, f, x.dtype), 1),
+                padf(w2, 0), _bias2d(b2, n, x.dtype)]
+        in_specs = [row_spec, col_w, col_b,
+                    pl.BlockSpec((bf, n), lambda i, j: (j, 0)),
+                    pl.BlockSpec((1, n), lambda i, j: (0, 0))]
+    if ln_mode:
+        ln_dim = k if ln_mode == "pre" else n
+        args += [ln_scale.reshape(1, -1), ln_bias.reshape(1, -1)]
+        in_specs += [pl.BlockSpec((1, ln_dim), lambda i, j: (0, 0))] * 2
+    if residual:
+        assert n == k, "residual fusion requires square block (N == K)"
+
+    scratch = [pltpu.VMEM((bm, n), jnp.float32)]
+    if ln_mode == "pre":
+        scratch.append(pltpu.VMEM((bm, k), x.dtype))
 
     out = pl.pallas_call(
-        kernel,
+        _make_kernel(activation, ln_mode, residual, eps),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, n), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return out[:m].reshape(*lead, n)

@@ -99,30 +99,39 @@ def rms_norm(scale: jax.Array, x: jax.Array, eps: float = 1e-6) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _use_fused_mlp(params, x, names) -> bool:
-    # Fused pallas MLP: TPU only, unquantized, no inner LN, enough rows to
-    # fill the row-block pipeline, and blocks within the 16MB scoped-VMEM
-    # budget. EMU_TPU_FUSED_MLP=0 forces the unfused path.
+def _fused_mlp_bf(params, x, names):
+    """(bm, bf) block sizes for the fused pallas MLP, or None to stay
+    unfused. Eligibility: TPU only, bf16, unquantized, no inner LN, enough
+    rows to fill the row-block pipeline.
+    EMU_TPU_FUSED_MLP=0 forces the unfused path."""
     import os
     if os.environ.get("EMU_TPU_FUSED_MLP") == "0":
-        return False
+        return None
     if jax.default_backend() not in ("tpu", "axon"):
-        return False
+        return None
     if "ffn_ln" in params or any("kernel" not in params[n] for n in names):
-        return False
+        return None
     m = 1
     for s in x.shape[:-1]:
         m *= s
+    if m < 2048:
+        return None
+    if x.dtype.itemsize > 2:
+        return None                       # bf16/fp8 regime only
     k = x.shape[-1]
     n = params[names[-1]]["kernel"].shape[1]
-    itm = x.dtype.itemsize
-    n_in = len(names) - 1                 # hidden-side weight matrices
-    # Mosaic's scoped footprint: single-buffered x/acc, double-buffered
-    # weight streams. ViT-g gelu (k=n=1408, bf16) measures ~15M and
-    # compiles; the 16MB scoped-vmem limit is the real ceiling.
-    vmem = (512 * k * itm + n_in * 2 * k * 768 * itm + 2 * 768 * n * itm
-            + 512 * n * 4 + 2 * 512 * n * itm)
-    return m >= 2048 and vmem < 21e6
+    # Empirically validated against Mosaic's 16MB scoped-VMEM limit on
+    # v5e (estimating the allocator's footprint proved unreliable):
+    # ViT-g (k=n=1408) compiles at (512, 768); EVA-4B (k=n=1792,
+    # hidden 15360) OOMs there but compiles at (256, 512).
+    dim = max(k, n)
+    if len(names) == 3:                   # swiglu: two hidden-side streams
+        return (256, 512) if dim <= 1536 else None
+    if dim <= 1536:
+        return (512, 768)
+    if dim <= 2304:
+        return (256, 512)
+    return None
 
 
 def gelu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
@@ -133,16 +142,42 @@ def gelu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
     On TPU, big unquantized shapes run as one fused pallas kernel (the erf
     GELU executes in the MXU's shadow; see ops/fused_mlp.py).
     """
-    if _use_fused_mlp(params, x, ("fc1", "fc2")):
+    blk = _fused_mlp_bf(params, x, ("fc1", "fc2"))
+    if blk is not None:
         from emu_tpu.ops.fused_mlp import fused_mlp
         return fused_mlp(x, params["fc1"]["kernel"], params["fc1"].get("bias"),
                          params["fc2"]["kernel"], params["fc2"].get("bias"),
-                         bf=768)
+                         bm=blk[0], bf=blk[1])
     h = dense(params["fc1"], x)
     h = jax.nn.gelu(h, approximate=False)
     if "ffn_ln" in params:
         h = layer_norm(params["ffn_ln"], h, eps=subln_eps or 1e-6)
     return dense(params["fc2"], h)
+
+
+def fused_block_mlp(norm_params: dict, mlp_params: dict, x: jax.Array,
+                    eps: float, postnorm: bool) -> Optional[jax.Array]:
+    """Whole MLP residual branch in one pallas kernel, or None if not
+    eligible (CPU, quantized, sub-LN, small batch — caller falls back).
+
+    pre-norm (Emu1):  x + mlp(LN(x));  post-norm (Emu2): x + LN(mlp(x)).
+    """
+    names = ("w1", "w2", "w3") if "w1" in mlp_params else ("fc1", "fc2")
+    blk = _fused_mlp_bf(mlp_params, x, names)
+    if blk is None:
+        return None
+    from emu_tpu.ops.fused_mlp import fused_mlp
+    kw = dict(ln_mode="post" if postnorm else "pre", residual=True, eps=eps,
+              ln_scale=norm_params["scale"], ln_bias=norm_params["bias"],
+              bm=blk[0], bf=blk[1])
+    p = mlp_params
+    if names[0] == "w1":
+        return fused_mlp(x, p["w1"]["kernel"], p["w1"].get("bias"),
+                         p["w2"]["kernel"], p["w2"].get("bias"),
+                         p["w3"]["kernel"], p["w3"].get("bias"),
+                         activation="swiglu", **kw)
+    return fused_mlp(x, p["fc1"]["kernel"], p["fc1"].get("bias"),
+                     p["fc2"]["kernel"], p["fc2"].get("bias"), **kw)
 
 
 def swiglu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
@@ -151,12 +186,13 @@ def swiglu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
 
     Ref: Emu2/emu/eva_vit.py SwiGLU (:110-140).
     """
-    if _use_fused_mlp(params, x, ("w1", "w2", "w3")):
+    blk = _fused_mlp_bf(params, x, ("w1", "w2", "w3"))
+    if blk is not None:
         from emu_tpu.ops.fused_mlp import fused_mlp
         return fused_mlp(x, params["w1"]["kernel"], params["w1"].get("bias"),
                          params["w2"]["kernel"], params["w2"].get("bias"),
                          params["w3"]["kernel"], params["w3"].get("bias"),
-                         activation="swiglu", bf=768)
+                         activation="swiglu", bm=blk[0], bf=blk[1])
     h = jax.nn.silu(dense(params["w1"], x)) * dense(params["w2"], x)
     if "ffn_ln" in params:
         h = layer_norm(params["ffn_ln"], h, eps=subln_eps or 1e-6)

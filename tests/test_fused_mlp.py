@@ -64,3 +64,55 @@ def test_erf_accuracy():
     np.testing.assert_allclose(np.asarray(_erf(x)),
                                np.asarray(jax.lax.erf(x)),
                                atol=1e-6)
+
+
+def test_fused_block_prenorm_residual():
+    """x + mlp(LN(x)) — the Emu1 pre-norm MLP branch in one kernel."""
+    p = _params("gelu", kdim=256, f=512, n=256)
+    ln = L.layer_norm_init(256)
+    ln["scale"] = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(9), (256,))
+    ln["bias"] = 0.1 * jax.random.normal(jax.random.PRNGKey(10), (256,))
+    x = jax.random.normal(jax.random.PRNGKey(4), (72, 256), jnp.float32)
+    ref = x + L.gelu_mlp(p, L.layer_norm(ln, x, 1e-6))
+    from emu_tpu.ops.fused_mlp import fused_mlp
+    out = fused_mlp(x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                    p["fc2"]["kernel"], p["fc2"]["bias"],
+                    ln_scale=ln["scale"], ln_bias=ln["bias"],
+                    ln_mode="pre", residual=True, eps=1e-6,
+                    bm=64, bf=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_postnorm_residual():
+    """x + LN(mlp(x)) — the Emu2 post-norm MLP branch in one kernel."""
+    p = _params("gelu", kdim=256, f=512, n=256)
+    ln = L.layer_norm_init(256)
+    ln["scale"] = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(11), (256,))
+    ln["bias"] = 0.1 * jax.random.normal(jax.random.PRNGKey(12), (256,))
+    x = jax.random.normal(jax.random.PRNGKey(5), (72, 256), jnp.float32)
+    ref = x + L.layer_norm(ln, L.gelu_mlp(p, x), 1e-6)
+    from emu_tpu.ops.fused_mlp import fused_mlp
+    out = fused_mlp(x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                    p["fc2"]["kernel"], p["fc2"]["bias"],
+                    ln_scale=ln["scale"], ln_bias=ln["bias"],
+                    ln_mode="post", residual=True, eps=1e-6,
+                    bm=64, bf=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_swiglu_prenorm():
+    p = _params("swiglu", kdim=256, f=512, n=256)
+    ln = L.layer_norm_init(256)
+    x = jax.random.normal(jax.random.PRNGKey(6), (72, 256), jnp.float32)
+    ref = x + L.swiglu_mlp(p, L.layer_norm(ln, x, 1e-6))
+    from emu_tpu.ops.fused_mlp import fused_mlp
+    out = fused_mlp(x, p["w1"]["kernel"], p["w1"]["bias"],
+                    p["w2"]["kernel"], p["w2"]["bias"],
+                    p["w3"]["kernel"], p["w3"]["bias"],
+                    ln_scale=ln["scale"], ln_bias=ln["bias"],
+                    activation="swiglu", ln_mode="pre", residual=True,
+                    eps=1e-6, bm=64, bf=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
