@@ -6,3 +6,7 @@ from emu_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     DEFAULT_AXES,
 )
+from emu_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+    ring_attention_sharded,
+)
