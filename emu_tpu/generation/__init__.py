@@ -3,3 +3,4 @@ from emu_tpu.generation.engine import (  # noqa: F401
     generate,
     llama_generate,
 )
+from emu_tpu.generation.continuous import ContinuousEngine  # noqa: F401

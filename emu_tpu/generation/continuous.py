@@ -1,0 +1,214 @@
+"""Continuous batching: decode-step-level request scheduling.
+
+The reference serves requests one `model.generate` call at a time
+(Emu1/inference.py, Emu2 gradio demos), and this repo's
+serving.batching coalesces whole requests with equal shapes. This
+module goes to the decode-step granularity (vLLM/JetStream-style): a
+fixed pool of batch slots advances ONE jitted decode step per token
+across whatever mix of requests currently occupies the slots; new
+requests prefill into free slots between steps and finished ones leave
+immediately, so short requests never wait for long ones.
+
+TPU-native design: all per-slot state (KV cache, write indices, rope
+positions, last tokens, active flags, output buffer) lives on device in
+fixed-shape arrays — admission and retirement are `.at[slot].set`
+updates inside jitted programs, never re-compilations. Prefill jits per
+prompt-length bucket; the decode step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emu_tpu.models import llama
+
+
+@dataclass
+class _Request:
+    req_id: int
+    prompt_len: int
+    max_new: int
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket "
+                     f"{buckets[-1]}")
+
+
+class ContinuousEngine:
+    """Slot-pool greedy/sampling decode engine over the LLaMA decoder.
+
+    submit() admits a request into a free slot (prefill); step() advances
+    every active slot one token; finished() drains completed requests.
+    """
+
+    def __init__(self, params, cfg, *, max_slots: int = 8,
+                 max_len: int = 512, prefill_buckets=(32, 64, 128, 256),
+                 eos_token_id: Optional[int] = 2, temperature: float = 0.0,
+                 cache_dtype=None, seed: int = 0):
+        self.params, self.cfg = params, cfg
+        self.max_slots, self.max_len = max_slots, max_len
+        self.buckets = tuple(sorted(b for b in prefill_buckets
+                                    if b <= max_len))
+        self.eos = -1 if eos_token_id is None else int(eos_token_id)
+        self.temperature = float(temperature)
+        self._rng = jax.random.PRNGKey(seed)
+        self._ids = itertools.count()
+        self.requests: Dict[int, _Request] = {}
+        self.slot_req: List[Optional[int]] = [None] * max_slots
+        if cache_dtype is None:
+            cache_dtype = params["norm"].dtype
+        self.state = {
+            "cache": llama.init_cache(cfg, max_slots, max_len,
+                                      dtype=cache_dtype),
+            "slot_mask": jnp.zeros((max_slots, max_len), bool),
+            "write_idx": jnp.zeros((max_slots,), jnp.int32),
+            "position": jnp.zeros((max_slots,), jnp.int32),
+            "last_token": jnp.zeros((max_slots,), jnp.int32),
+            "active": jnp.zeros((max_slots,), bool),
+            "n_generated": jnp.zeros((max_slots,), jnp.int32),
+            "max_new": jnp.zeros((max_slots,), jnp.int32),
+        }
+
+    # -- jitted programs ----------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _step_jit(self, params, state, rng):
+        cfg = self.cfg
+        st = dict(state)
+        active = st["active"]
+        slots = st["write_idx"]
+        bidx = jnp.arange(self.max_slots)
+        # the new token's own slot becomes attendable (active rows only)
+        slot_mask = st["slot_mask"].at[bidx, slots].set(
+            st["slot_mask"][bidx, slots] | active)
+        embeds = llama.embed(params, st["last_token"][:, None])
+        hidden, cache = llama.decode_step_rows(
+            params, cfg, st["cache"], embeds, slots, slot_mask,
+            st["position"])
+        logits = llama.logits(params, hidden[:, 0])
+        if self.temperature > 0:
+            nxt = jax.random.categorical(rng, logits / self.temperature,
+                                         axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        n_gen = st["n_generated"] + active
+        out_tok = jnp.where(active, nxt, 0)
+        still = active & (nxt != self.eos) & (n_gen < st["max_new"])
+        st.update(cache=cache, slot_mask=slot_mask,
+                  write_idx=slots + active,
+                  position=st["position"] + active,
+                  last_token=jnp.where(active, nxt, st["last_token"]),
+                  active=still, n_generated=n_gen)
+        return st, out_tok, active
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _prefill_jit(self, params, state, embeds, mask, s_bucket, slot,
+                     max_new, rng):
+        cfg = self.cfg
+        st = dict(state)
+        small = llama.init_cache(cfg, 1, s_bucket,
+                                 dtype=st["cache"]["k"].dtype)
+        hidden, small = llama.prefill(params, cfg, embeds, mask, small)
+        logits = llama.logits(params, hidden[:, -1])[0]
+        if self.temperature > 0:
+            first = jax.random.categorical(
+                rng, logits / self.temperature).astype(jnp.int32)
+        else:
+            first = jnp.argmax(logits).astype(jnp.int32)
+        cache = {
+            n: jax.lax.dynamic_update_slice(
+                st["cache"][n], small[n], (0, slot, 0, 0, 0))
+            for n in ("k", "v")}
+        row_mask = jnp.zeros((self.max_len,), bool).at[:s_bucket].set(
+            mask[0].astype(bool))
+        alive = (first != self.eos) & (max_new > 1)
+        st.update(
+            cache=cache,
+            slot_mask=st["slot_mask"].at[slot].set(row_mask),
+            write_idx=st["write_idx"].at[slot].set(s_bucket),
+            position=st["position"].at[slot].set(
+                jnp.sum(mask[0].astype(jnp.int32))),
+            last_token=st["last_token"].at[slot].set(first),
+            active=st["active"].at[slot].set(alive),
+            n_generated=st["n_generated"].at[slot].set(1),
+            max_new=st["max_new"].at[slot].set(max_new),
+        )
+        return st, first
+
+    # -- public API ----------------------------------------------------------
+
+    def free_slots(self) -> int:
+        return sum(r is None for r in self.slot_req)
+
+    def submit(self, inputs_embeds, attention_mask, max_new: int) -> int:
+        """Admit one request (embeds [1, S, D], mask [1, S]). Returns id.
+
+        The first generated token samples from the prefill logits here;
+        subsequent tokens come from step()."""
+        slot = self.slot_req.index(None)   # raises ValueError when full
+        s = inputs_embeds.shape[1]
+        s_b = _bucket(s, self.buckets)
+        if s_b + max_new > self.max_len:
+            raise ValueError("prompt bucket + max_new exceeds max_len")
+        pad = s_b - s
+        embeds = jnp.pad(inputs_embeds, ((0, 0), (pad, 0), (0, 0)))
+        mask = jnp.pad(attention_mask, ((0, 0), (pad, 0)))
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, first = self._prefill_jit(
+            self.params, self.state, embeds, mask, s_b, slot,
+            jnp.int32(max_new), sub)
+        req = _Request(next(self._ids), s, max_new)
+        first = int(first)
+        req.tokens.append(first)
+        if first == self.eos or max_new <= 1:
+            req.done = True
+        else:
+            self.slot_req[slot] = req.req_id
+        self.requests[req.req_id] = req
+        return req.req_id
+
+    def step(self) -> int:
+        """Advance every active slot one token. Returns #slots advanced."""
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, out_tok, was_active = self._step_jit(
+            self.params, self.state, sub)
+        out_tok = np.asarray(out_tok)
+        was_active = np.asarray(was_active)
+        still = np.asarray(self.state["active"])
+        advanced = 0
+        for slot, rid in enumerate(self.slot_req):
+            if rid is None or not was_active[slot]:
+                continue
+            advanced += 1
+            req = self.requests[rid]
+            req.tokens.append(int(out_tok[slot]))
+            if not still[slot]:
+                req.done = True
+                self.slot_req[slot] = None
+        return advanced
+
+    def finished(self) -> Dict[int, List[int]]:
+        """Drain completed requests: {req_id: generated token ids}."""
+        out = {}
+        for rid in [r for r, q in self.requests.items() if q.done]:
+            out[rid] = self.requests.pop(rid).tokens
+        return out
+
+    def run_until_drained(self, max_steps: int = 10_000):
+        for _ in range(max_steps):
+            if self.step() == 0:
+                break
+        return self.finished()

@@ -263,6 +263,42 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     return hidden, {"k": k_all, "v": v_all}
 
 
+def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
+                     token_embeds: jax.Array, slots: jax.Array,
+                     slot_mask: jax.Array, positions: jax.Array
+                     ) -> Tuple[jax.Array, dict]:
+    """One decode step with PER-ROW cache write indices.
+
+    The continuous-batching variant of decode_step: each batch row sits at
+    its own sequence length, so `slots` is [B] (scatter write) instead of
+    one shared scalar. slot_mask [B, max_len] must already include each
+    row's own new slot. Returns (post-norm hidden [B, 1, D], cache)."""
+    b = token_embeds.shape[0]
+    max_len = cache["k"].shape[2]
+    tables = rope_tables(cfg, max_len)
+    pos = positions[:, None]                       # [B, 1]
+    cache_dtype = cache["k"].dtype
+    bidx = jnp.arange(b)
+
+    def body(x, xs):
+        p, k_c, v_c = xs
+
+        def write(k_new, v_new):
+            k_cache = k_c.at[bidx, slots].set(k_new[:, 0].astype(cache_dtype))
+            v_cache = v_c.at[bidx, slots].set(v_new[:, 0].astype(cache_dtype))
+            return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
+                    (k_cache, v_cache))
+
+        x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
+                              False)
+        return x, cache_out
+
+    x, (k_all, v_all) = jax.lax.scan(
+        body, token_embeds, (params["layers"], cache["k"], cache["v"]))
+    hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return hidden, {"k": k_all, "v": v_all}
+
+
 def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:
     """Gather cache rows on beam-search reorder. beam_indices: [B]."""
     return jax.tree_util.tree_map(lambda c: c[:, beam_indices], cache)

@@ -1,0 +1,88 @@
+"""Continuous batching engine vs single-request llama_generate (greedy)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from emu_tpu.config import LlamaConfig
+from emu_tpu.generation.continuous import ContinuousEngine
+from emu_tpu.generation.engine import GenerationConfig, llama_generate
+from emu_tpu.models import llama
+
+CFG = LlamaConfig(hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  vocab_size=97, extended_vocab_size=97,
+                  max_position_embeddings=128)
+
+
+def _setup():
+    params = llama.init(jax.random.PRNGKey(0), CFG)
+    def embeds_for(ids):
+        return llama.embed(params, jnp.asarray(ids)[None])
+    return params, embeds_for
+
+
+def _oracle(params, embeds, max_new, eos):
+    g = GenerationConfig(max_new_tokens=max_new, eos_token_id=eos)
+    mask = jnp.ones(embeds.shape[:2], jnp.int32)
+    out = llama_generate(params, CFG, embeds, mask, g)
+    toks = list(np.asarray(out)[0])
+    # llama_generate pads after eos; cut at first eos (inclusive)
+    if eos in toks:
+        toks = toks[:toks.index(eos) + 1]
+    return toks
+
+
+def test_matches_single_request_greedy():
+    """Three staggered requests of different lengths decode exactly the
+    tokens each would get alone (bucketed left-padding included)."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 11, 23)]
+    oracle = [_oracle(params, embeds_for(p), 12, eos) for p in prompts]
+
+    eng = ContinuousEngine(params, CFG, max_slots=4, max_len=64,
+                           prefill_buckets=(8, 16, 32), eos_token_id=eos)
+    ids = [eng.submit(embeds_for(prompts[0]),
+                      jnp.ones((1, 5), jnp.int32), 12)]
+    eng.step()                         # request 0 runs alone for 2 steps
+    eng.step()
+    ids.append(eng.submit(embeds_for(prompts[1]),
+                          jnp.ones((1, 11), jnp.int32), 12))
+    eng.step()
+    ids.append(eng.submit(embeds_for(prompts[2]),
+                          jnp.ones((1, 23), jnp.int32), 12))
+    results = eng.run_until_drained()
+    assert set(results) == set(ids)
+    for rid, want in zip(ids, oracle):
+        assert results[rid] == want, (results[rid], want)
+
+
+def test_slot_reuse():
+    """A freed slot admits a new request with clean state."""
+    params, embeds_for = _setup()
+    eng = ContinuousEngine(params, CFG, max_slots=1, max_len=48,
+                           prefill_buckets=(8,), eos_token_id=None)
+    p1 = [3, 5, 7]
+    r1 = eng.submit(embeds_for(p1), jnp.ones((1, 3), jnp.int32), 4)
+    out1 = eng.run_until_drained()
+    assert len(out1[r1]) == 4
+    p2 = [11, 13]
+    r2 = eng.submit(embeds_for(p2), jnp.ones((1, 2), jnp.int32), 4)
+    out2 = eng.run_until_drained()
+    assert len(out2[r2]) == 4
+    want = _oracle(params, embeds_for(p2), 4, eos=-1)
+    assert out2[r2] == want
+
+
+def test_full_pool_raises():
+    params, embeds_for = _setup()
+    eng = ContinuousEngine(params, CFG, max_slots=1, max_len=32,
+                           prefill_buckets=(8,), eos_token_id=None)
+    eng.submit(embeds_for([1, 2]), jnp.ones((1, 2), jnp.int32), 8)
+    try:
+        eng.submit(embeds_for([3]), jnp.ones((1, 1), jnp.int32), 8)
+        assert False, "expected ValueError when pool is full"
+    except ValueError:
+        pass
