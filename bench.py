@@ -201,6 +201,15 @@ def chip_health_tflops() -> float:
 
 
 def main():
+    import os
+    cache_dir = os.environ.get("EMU_TPU_COMPILE_CACHE",
+                               "/tmp/emu_tpu_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - older jax without the knobs
+        pass
+
     health = chip_health_tflops()
     print(f"chip health probe: {health:.0f} TFLOP/s sustained matmul",
           file=sys.stderr)
@@ -214,6 +223,15 @@ def main():
               "retrying once", file=sys.stderr)
         time.sleep(10)
         img_per_s = max(img_per_s, bench_vit_encode())
+
+    # headline goes out BEFORE the secondaries: if the shared tunnel stalls
+    # mid-secondary, the driver still gets its one JSON line.
+    print(json.dumps({
+        "metric": "eva_vit_g_encode_throughput",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S, 3),
+    }), flush=True)
     import functools
     for name, fn, unit in (
             ("llama-13B-equiv decode bf16", bench_llama_decode,
@@ -230,13 +248,6 @@ def main():
             print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"secondary {name} failed: {e}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "eva_vit_g_encode_throughput",
-        "value": round(img_per_s, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S, 3),
-    }))
 
 
 if __name__ == "__main__":

@@ -4,3 +4,4 @@ from emu_tpu.generation.engine import (  # noqa: F401
     llama_generate,
 )
 from emu_tpu.generation.continuous import ContinuousEngine  # noqa: F401
+from emu_tpu.generation.speculative import speculative_generate  # noqa: F401

@@ -1,0 +1,132 @@
+"""Speculative decoding: draft-model proposal + single-pass verification.
+
+A small draft model proposes k tokens autoregressively; the target model
+scores all of them in ONE chunked forward (llama.decode_chunk) and the
+longest prefix agreeing with the target's own greedy choices is
+accepted, plus the target's correction token on the first mismatch.
+Greedy acceptance makes the output PROVABLY identical to target-only
+greedy decoding — the draft only changes how many target forward passes
+are needed, not what comes out. Decode is HBM-bound on the target's
+weights (BASELINE.md), so accepting a tokens per round divides the
+weight traffic by ~a.
+
+The whole generate loop is one jitted lax.while_loop: fixed-shape
+caches, a fixed k-token proposal fori_loop, one verify chunk, masked
+scatter into the output buffer. The reference has no speculative path
+(HF `generate` one token at a time, SURVEY §3.1).
+
+Bookkeeping (B=1): `committed` = tokens whose KV both caches hold.
+When all k proposals are accepted the round emits exactly k tokens
+(skipping the "bonus" token keeps the draft cache's valid prefix
+aligned — the last proposal's KV is in neither cache and gets written
+when it is fed as the next round's first token).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emu_tpu.models import llama
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 5, 6, 7))
+def _spec_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, max_new: int,
+              k: int, eos: int):
+    s = prompt_ids.shape[0]
+    max_len = s + max_new + k + 2
+    ids = prompt_ids[None]
+    mask = jnp.ones((1, s), jnp.int32)
+
+    cdt = t_params["norm"].dtype
+    t_cache = llama.init_cache(t_cfg, 1, max_len, dtype=cdt)
+    d_cache = llama.init_cache(d_cfg, 1, max_len, dtype=cdt)
+    t_hidden, t_cache = llama.prefill(t_params, t_cfg,
+                                      llama.embed(t_params, ids), mask,
+                                      t_cache)
+    _, d_cache = llama.prefill(d_params, d_cfg,
+                               llama.embed(d_params, ids), mask, d_cache)
+    last = jnp.argmax(llama.logits(t_params, t_hidden[0, -1])).astype(
+        jnp.int32)
+
+    out0 = jnp.zeros((max_new,), jnp.int32)
+    out0 = out0.at[0].set(last)
+    arange_len = jnp.arange(max_len)
+
+    def round_body(st):
+        t_cache, d_cache, committed, last, out, n, done = st
+
+        # -- draft proposes k tokens (chunk[0] = last, chunk[i+1] = p_i)
+        def propose(i, carry):
+            d_cache, tok, chunk = carry
+            slot = committed + i
+            emb = llama.embed(d_params, tok[None, None])
+            sm = (arange_len <= slot)[None]
+            hid, d_cache = llama.decode_step(d_params, d_cfg, d_cache, emb,
+                                             slot, sm, slot[None])
+            nxt = jnp.argmax(llama.logits(d_params, hid[0, 0])).astype(
+                jnp.int32)
+            return d_cache, nxt, chunk.at[i + 1].set(nxt)
+
+        chunk0 = jnp.zeros((k + 1,), jnp.int32).at[0].set(last)
+        d_cache, _, chunk = jax.lax.fori_loop(
+            0, k, propose, (d_cache, last, chunk0))
+
+        # -- target verifies the whole chunk in one forward
+        emb = llama.embed(t_params, chunk[None])
+        pos = committed + jnp.arange(k + 1)
+        hid, t_cache = llama.decode_chunk(t_params, t_cfg, t_cache, emb,
+                                          committed, committed[None],
+                                          pos[None])
+        g = jnp.argmax(llama.logits(t_params, hid[0]), axis=-1).astype(
+            jnp.int32)                                   # [k+1]
+
+        # -- longest accepted prefix
+        agree = g[:k] == chunk[1:]
+        a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32)))   # 0..k
+        count = jnp.where(a < k, a + 1, k)
+        idx = jnp.arange(k)
+        emitted = jnp.where(idx < a, chunk[1:], g[jnp.minimum(idx, a)])
+        new_last = jnp.where(a < k, g[a], chunk[k])
+
+        # -- eos / budget truncation
+        is_eos = (emitted == eos) & (idx < count)
+        hit_eos = jnp.any(is_eos)
+        count = jnp.where(hit_eos, jnp.argmax(is_eos) + 1, count)
+        count = jnp.minimum(count, max_new - n)
+        write = (idx < count) & (n + idx < max_new)
+        out = out.at[jnp.where(write, n + idx, max_new)].set(
+            emitted, mode="drop")
+        n = n + count
+        committed = committed + count
+        done = hit_eos | (n >= max_new)
+        return t_cache, d_cache, committed, new_last, out, n, done
+
+    def cond(st):
+        return ~st[-1]
+
+    committed0 = jnp.int32(s)
+    done0 = (last == eos) | (max_new <= 1)
+    st = (t_cache, d_cache, committed0, last, out0, jnp.int32(1), done0)
+    st = jax.lax.while_loop(cond, round_body, st)
+    return st[4], st[5]
+
+
+def speculative_generate(t_params, t_cfg, d_params, d_cfg, prompt_ids,
+                         *, max_new: int, k: int = 4, eos: int = 2
+                         ) -> Tuple[np.ndarray, int]:
+    """Greedy speculative decode (B=1). Returns generated token ids.
+
+    Output is token-identical to `llama_generate` greedy on the target
+    model alone; the draft only accelerates. Both models must share a
+    tokenizer. k = proposal length per round."""
+    out, n = _spec_jit(t_params, t_cfg, d_params, d_cfg,
+                       jnp.asarray(prompt_ids, jnp.int32), max_new, k, eos)
+    toks = list(np.asarray(out)[:int(n)])
+    if eos in toks:
+        toks = toks[:toks.index(eos) + 1]
+    return toks

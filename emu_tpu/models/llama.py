@@ -99,9 +99,11 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(b, s, n_heads, head_dim)
 
 
-def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, kv_valid, causal):
+def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, kv_valid, causal,
+          mask=None):
     """x: [B, S, D]; kv: (k, v) [B, Skv, H, Dh] full key/value sequence;
-    kv_valid: [B, Skv] padding/slot-validity mask."""
+    kv_valid: [B, Skv] padding/slot-validity mask; mask: optional dense
+    [B, 1, S, Skv] (chunked verify: per-query causality inside a cache)."""
     b, s, d = x.shape
     h, hd = cfg.num_attention_heads, cfg.head_dim
     q = _split_heads(L.dense(p["q_proj"], x), h, hd)
@@ -109,7 +111,7 @@ def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, kv_valid, causal):
     k_full, v_full = kv
     q, _ = R.apply_llama_rope(q, q, cos, sin, positions)
     o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
-                              causal=causal, scale=hd ** -0.5)
+                              causal=causal, mask=mask, scale=hd ** -0.5)
     return L.dense(p["o_proj"], o.reshape(b, s, d))
 
 
@@ -122,14 +124,15 @@ def _project_kv(p, cfg: LlamaConfig, x, tables, positions):
     return k, v
 
 
-def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal):
+def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal,
+           mask=None):
     """One decoder layer; `new_kv_fn(k_new, v_new) -> (k_full, v_full,
     updated_cache_slices)` lets prefill/decode share this body."""
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
     k_new, v_new = _project_kv(p["self_attn"], cfg, h, tables, positions)
     k_full, v_full, cache_out = new_kv_fn(k_new, v_new)
     x = x + _attn(p["self_attn"], cfg, h, tables, positions,
-                  (k_full, v_full), kv_valid, causal)
+                  (k_full, v_full), kv_valid, causal, mask)
     h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_norm_eps)
     x = x + L.llama_mlp(p["mlp"], h)
     return x, cache_out
@@ -255,6 +258,49 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
 
         x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
                               False)
+        return x, cache_out
+
+    x, (k_all, v_all) = jax.lax.scan(
+        body, token_embeds, (params["layers"], cache["k"], cache["v"]))
+    hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return hidden, {"k": k_all, "v": v_all}
+
+
+def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
+                 token_embeds: jax.Array, slot: jax.Array,
+                 valid_len: jax.Array, positions: jax.Array
+                 ) -> Tuple[jax.Array, dict]:
+    """Decode a CHUNK of q tokens against the cache in one forward.
+
+    The speculative-decoding verify step: token_embeds [B, q, D] occupy
+    cache slots [slot, slot+q); query i attends cache positions <= slot+i
+    (per-query causality inside the fixed-size cache needs a dense mask —
+    `causal` aligns to the cache end, which is longer than the logical
+    sequence). valid_len [B]: count of valid slots before the chunk
+    (== slot when there is no padding). Returns (post-norm hidden
+    [B, q, D], cache)."""
+    b, qn, _ = token_embeds.shape
+    max_len = cache["k"].shape[2]
+    tables = rope_tables(cfg, max_len)
+    cache_dtype = cache["k"].dtype
+    j = jnp.arange(max_len)[None, None, None, :]          # [1,1,1,Skv]
+    i = jnp.arange(qn)[None, None, :, None]               # [1,1,q,1]
+    mask = (j < valid_len[:, None, None, None]) | (
+        (j >= slot) & (j <= slot + i))                    # [B,1,q,Skv]
+
+    def body(x, xs):
+        p, k_c, v_c = xs
+
+        def write(k_new, v_new):
+            k_cache = jax.lax.dynamic_update_slice(
+                k_c, k_new.astype(cache_dtype), (0, slot, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_c, v_new.astype(cache_dtype), (0, slot, 0, 0))
+            return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
+                    (k_cache, v_cache))
+
+        x, cache_out = _layer(p, cfg, x, tables, positions, write, None,
+                              False, mask)
         return x, cache_out
 
     x, (k_all, v_all) = jax.lax.scan(

@@ -1,0 +1,88 @@
+"""Speculative decoding == target-only greedy decoding, token for token."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from emu_tpu.config import LlamaConfig
+from emu_tpu.generation.engine import GenerationConfig, llama_generate
+from emu_tpu.generation.speculative import speculative_generate
+from emu_tpu.models import llama
+
+CFG = LlamaConfig(hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  vocab_size=97, extended_vocab_size=97,
+                  max_position_embeddings=256)
+DRAFT_CFG = LlamaConfig(hidden_size=16, intermediate_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        vocab_size=97, extended_vocab_size=97,
+                        max_position_embeddings=256)
+
+
+def _oracle(params, prompt, max_new, eos):
+    embeds = llama.embed(params, jnp.asarray(prompt)[None])
+    mask = jnp.ones((1, len(prompt)), jnp.int32)
+    g = GenerationConfig(max_new_tokens=max_new, eos_token_id=eos)
+    toks = list(np.asarray(llama_generate(params, CFG, embeds, mask, g))[0])
+    if eos in toks:
+        toks = toks[:toks.index(eos) + 1]
+    return toks
+
+
+def test_spec_equals_greedy_weak_draft():
+    """An unrelated random draft (mostly rejected proposals) must still
+    yield the target's exact greedy output."""
+    tparams = llama.init(jax.random.PRNGKey(0), CFG)
+    dparams = llama.init(jax.random.PRNGKey(99), DRAFT_CFG)
+    prompt = [5, 17, 3, 42, 8]
+    for max_new, kk in ((13, 4), (7, 2)):
+        want = _oracle(tparams, prompt, max_new, eos=96)
+        got = speculative_generate(tparams, CFG, dparams, DRAFT_CFG, prompt,
+                                   max_new=max_new, k=kk, eos=96)
+        assert got == want, (got, want)
+
+
+def test_spec_equals_greedy_perfect_draft():
+    """Draft == target: every proposal accepted, same output, exercises
+    the all-accepted (a == k) cache-alignment path."""
+    tparams = llama.init(jax.random.PRNGKey(1), CFG)
+    prompt = [9, 2, 71]
+    want = _oracle(tparams, prompt, 11, eos=96)
+    got = speculative_generate(tparams, CFG, tparams, CFG, prompt,
+                               max_new=11, k=3, eos=96)
+    assert got == want, (got, want)
+
+
+def test_decode_chunk_matches_steps():
+    """decode_chunk over q tokens == q sequential decode_steps."""
+    params = llama.init(jax.random.PRNGKey(2), CFG)
+    prompt = jnp.asarray([[4, 8, 15, 16]])
+    mask = jnp.ones((1, 4), jnp.int32)
+    max_len = 16
+    cache = llama.init_cache(CFG, 1, max_len, dtype=jnp.float32)
+    _, cache0 = llama.prefill(params, CFG, llama.embed(params, prompt),
+                              mask, cache)
+    toks = jnp.asarray([[23, 42, 7]])
+
+    # sequential
+    cache_a = cache0
+    hs = []
+    for i in range(3):
+        emb = llama.embed(params, toks[:, i:i + 1])
+        sm = (jnp.arange(max_len) <= 4 + i)[None]
+        h, cache_a = llama.decode_step(params, CFG, cache_a, emb,
+                                       jnp.int32(4 + i), sm,
+                                       jnp.asarray([4 + i]))
+        hs.append(h[:, 0])
+    ref = jnp.stack(hs, axis=1)
+
+    # chunked
+    emb = llama.embed(params, toks)
+    h_chunk, cache_b = llama.decode_chunk(
+        params, CFG, cache_b_in := cache0, emb, jnp.int32(4),
+        jnp.asarray([4]), (4 + jnp.arange(3))[None])
+    np.testing.assert_allclose(np.asarray(h_chunk), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cache_b["k"][:, :, :7]),
+                               np.asarray(cache_a["k"][:, :, :7]),
+                               rtol=2e-5, atol=2e-5)
