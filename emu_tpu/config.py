@@ -99,6 +99,9 @@ class LlamaConfig:
     intermediate_size: int = 13824
     num_hidden_layers: int = 40
     num_attention_heads: int = 40
+    # GQA (LLaMA-2/3-class checkpoints): kv heads < query heads. None =
+    # MHA (the Emu1/Emu2 LLaMA-1-era decoders).
+    num_key_value_heads: Optional[int] = None
     vocab_size: int = 32000          # base vocab before special tokens
     extended_vocab_size: int = 32000  # after special-token resize
     max_position_embeddings: int = 2048
@@ -111,6 +114,10 @@ class LlamaConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
 
     @classmethod
     def emu1_13b(cls, extended_vocab: int = 32004) -> "LlamaConfig":
@@ -134,6 +141,7 @@ class LlamaConfig:
             intermediate_size=d["intermediate_size"],
             num_hidden_layers=d["num_hidden_layers"],
             num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get("num_key_value_heads"),
             vocab_size=d["vocab_size"],
             extended_vocab_size=extended_vocab or d["vocab_size"],
             max_position_embeddings=d.get("max_position_embeddings", 2048),

@@ -53,10 +53,12 @@ def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32,
             "self_attn": {
                 "q_proj": L.dense_init(next(ks), d, d, use_bias=False,
                                        dtype=dtype),
-                "k_proj": L.dense_init(next(ks), d, d, use_bias=False,
-                                       dtype=dtype),
-                "v_proj": L.dense_init(next(ks), d, d, use_bias=False,
-                                       dtype=dtype),
+                "k_proj": L.dense_init(next(ks), d,
+                                       cfg.kv_heads * cfg.head_dim,
+                                       use_bias=False, dtype=dtype),
+                "v_proj": L.dense_init(next(ks), d,
+                                       cfg.kv_heads * cfg.head_dim,
+                                       use_bias=False, dtype=dtype),
                 "o_proj": L.dense_init(next(ks), d, d, use_bias=False,
                                        dtype=dtype),
             },
@@ -110,13 +112,17 @@ def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, kv_valid, causal,
     cos, sin = tables
     k_full, v_full = kv
     q, _ = R.apply_llama_rope(q, q, cos, sin, positions)
+    if cfg.kv_heads != h:            # GQA: broadcast kv groups to q heads
+        rep = h // cfg.kv_heads
+        k_full = jnp.repeat(k_full, rep, axis=2)
+        v_full = jnp.repeat(v_full, rep, axis=2)
     o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
                               causal=causal, mask=mask, scale=hd ** -0.5)
     return L.dense(p["o_proj"], o.reshape(b, s, d))
 
 
 def _project_kv(p, cfg: LlamaConfig, x, tables, positions):
-    h, hd = cfg.num_attention_heads, cfg.head_dim
+    h, hd = cfg.kv_heads, cfg.head_dim
     k = _split_heads(L.dense(p["k_proj"], x), h, hd)
     v = _split_heads(L.dense(p["v_proj"], x), h, hd)
     cos, sin = tables
@@ -190,7 +196,7 @@ def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> dict:
     shape = (cfg.num_hidden_layers, batch, max_len,
-             cfg.num_attention_heads, cfg.head_dim)
+             cfg.kv_heads, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

@@ -1,0 +1,117 @@
+"""GQA (num_key_value_heads < num_attention_heads) vs HF LlamaForCausalLM.
+
+LLaMA-2/3-class checkpoints use grouped-query attention; the Emu
+reference models are MHA, so this is a capability extension validated
+against the same HF numerical spec as test_llama_parity."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+from transformers import LlamaConfig as HFLlamaConfig  # noqa: E402
+from transformers import LlamaForCausalLM  # noqa: E402
+
+from emu_tpu.config import LlamaConfig  # noqa: E402
+from emu_tpu.models import llama  # noqa: E402
+
+CFG = LlamaConfig(hidden_size=64, intermediate_size=112,
+                  num_hidden_layers=2, num_attention_heads=8,
+                  num_key_value_heads=2, vocab_size=128,
+                  extended_vocab_size=128, max_position_embeddings=64)
+
+
+def _hf_model():
+    hf_cfg = HFLlamaConfig(
+        hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads,
+        vocab_size=CFG.vocab_size,
+        max_position_embeddings=CFG.max_position_embeddings,
+        rms_norm_eps=CFG.rms_norm_eps,
+        rope_theta=CFG.rope_theta,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return LlamaForCausalLM(hf_cfg).eval()
+
+
+def _port(hf) -> dict:
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    n_layers = CFG.num_hidden_layers
+
+    def stack(fmt, transpose=True):
+        arrs = [sd[fmt.format(i)] for i in range(n_layers)]
+        arrs = [a.T if transpose else a for a in arrs]
+        return jnp.asarray(np.stack(arrs))
+
+    return {
+        "embed_tokens": jnp.asarray(sd["model.embed_tokens.weight"]),
+        "layers": {
+            "input_layernorm": stack(
+                "model.layers.{}.input_layernorm.weight", transpose=False),
+            "post_attention_layernorm": stack(
+                "model.layers.{}.post_attention_layernorm.weight",
+                transpose=False),
+            "self_attn": {
+                f"{n}_proj": {"kernel": stack(
+                    "model.layers.{}.self_attn." + n + "_proj.weight")}
+                for n in ("q", "k", "v", "o")
+            },
+            "mlp": {
+                "gate": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight")},
+                "up": {"kernel": stack("model.layers.{}.mlp.up_proj.weight")},
+                "down": {"kernel": stack("model.layers.{}.mlp.down_proj.weight")},
+            },
+        },
+        "norm": jnp.asarray(sd["model.norm.weight"]),
+        "lm_head": {"kernel": jnp.asarray(sd["lm_head.weight"].T)},
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hf = _hf_model()
+    return hf, _port(hf)
+
+
+def test_gqa_forward_parity(setup):
+    hf, params = setup
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, (2, 9))
+    mask = np.ones_like(ids)
+    mask[0, :3] = 0                       # left padding
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).logits.numpy()
+    embeds = llama.embed(params, jnp.asarray(ids))
+    hidden = llama.forward_hidden(params, CFG, embeds, jnp.asarray(mask))
+    out = np.asarray(llama.logits(params, hidden))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-4, atol=2e-4)
+
+
+def test_gqa_cached_decode_matches_full_forward(setup):
+    """prefill + decode_step produce the same logits as the uncached path
+    (also proves the kv-heads cache layout round-trips)."""
+    hf, params = setup
+    ids = np.array([[5, 17, 3, 42, 8, 11]])
+    mask = jnp.ones((1, 6), jnp.int32)
+    embeds = llama.embed(params, jnp.asarray(ids))
+
+    hidden_full = llama.forward_hidden(params, CFG, embeds, mask)
+    full_logits = np.asarray(llama.logits(params, hidden_full))
+
+    cache = llama.init_cache(CFG, 1, 8, dtype=jnp.float32)
+    assert cache["k"].shape[3] == CFG.num_key_value_heads
+    h5, cache = llama.prefill(params, CFG, embeds[:, :5], mask[:, :5], cache)
+    sm = (jnp.arange(8) <= 5)[None]
+    h6, _ = llama.decode_step(params, CFG, cache, embeds[:, 5:6],
+                              jnp.int32(5), sm, jnp.asarray([5]))
+    np.testing.assert_allclose(
+        np.asarray(llama.logits(params, h6[:, 0])), full_logits[:, 5],
+        rtol=2e-4, atol=2e-4)
