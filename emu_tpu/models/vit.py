@@ -130,6 +130,69 @@ def init(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
+                       g1) -> Optional[jax.Array]:
+    """Whole attention residual branch on the packed-QKV pallas path.
+
+    pre-norm:  x + [g1 *] proj(MHA(qkv(LN(x))))   (LN fused into the qkv
+               matmul kernel when there are enough rows);
+    post-norm: x + [g1 *] LN(proj(MHA(qkv(x))))   (LN + residual fused
+               into the proj matmul kernel when g1 is None).
+
+    The MHA kernel consumes the qkv projection output [B, S, 3*H*D]
+    directly and emits [B, S, H*D] — no HBM-layout transposes anywhere in
+    the branch (the BSHD->BHSD round trips were the largest remaining
+    ViT-g cost after the fused MLP). Returns None when ineligible (CPU,
+    fp32, sub-LN, quantized, VMEM plan absent); caller falls back.
+    EMU_TPU_FUSED_ATTN=0 disables."""
+    import os
+    if os.environ.get("EMU_TPU_FUSED_ATTN") == "0":
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if x.dtype.itemsize > 2 or cfg.subln:
+        return None
+    pa = p["attn"]
+    if "kernel" not in pa["qkv"] or "kernel" not in pa["proj"]:
+        return None
+    from emu_tpu.ops.flash_attention import mha_packed_qkv, packed_qkv_plan
+    b, s, _ = x.shape
+    if s < 64 or packed_qkv_plan(cfg.num_heads, cfg.head_width, s,
+                                 x.dtype.itemsize) is None:
+        return None
+    from emu_tpu.ops.fused_mlp import fused_dense
+    n_qkv = pa["qkv"]["kernel"].shape[1]
+    bn_opts = [d for d in range(128, 513, 128) if n_qkv % d == 0]
+    k_bias = jnp.zeros_like(pa["q_bias"])
+    qkv_bias = jnp.concatenate([pa["q_bias"], k_bias, pa["v_bias"]])
+    scale = cfg.head_width ** -0.5
+
+    if cfg.postnorm:
+        qkv = L.dense({"kernel": pa["qkv"]["kernel"], "bias": qkv_bias}, x)
+        o = mha_packed_qkv(qkv, cfg.num_heads, cfg.head_width, scale=scale)
+        if g1 is None:
+            return fused_dense(o, pa["proj"]["kernel"], pa["proj"].get("bias"),
+                               p["norm1"]["scale"], p["norm1"]["bias"],
+                               residual=x, ln_mode="post", eps=cfg.ln_eps,
+                               bm=256)
+        y = L.layer_norm(p["norm1"], L.dense(pa["proj"], o), cfg.ln_eps)
+        return x + y * g1.astype(y.dtype)
+
+    if b * s >= 1024 and bn_opts:
+        qkv = fused_dense(x, pa["qkv"]["kernel"], qkv_bias,
+                          p["norm1"]["scale"], p["norm1"]["bias"],
+                          ln_mode="pre", eps=cfg.ln_eps,
+                          bm=512, bn=max(bn_opts))
+    else:
+        qkv = L.dense({"kernel": pa["qkv"]["kernel"], "bias": qkv_bias},
+                      L.layer_norm(p["norm1"], x, cfg.ln_eps))
+    o = mha_packed_qkv(qkv, cfg.num_heads, cfg.head_width, scale=scale)
+    y = L.dense(pa["proj"], o)
+    if g1 is not None:
+        y = y * g1.astype(y.dtype)
+    return x + y
+
+
 def _block(cfg: VisionConfig, p: dict, x: jax.Array,
            rope_tables=None, rel_pos_bias=None) -> jax.Array:
     def attn(h):
@@ -177,17 +240,22 @@ def _block(cfg: VisionConfig, p: dict, x: jax.Array,
         return L.fused_block_mlp(p["norm2"], p["mlp"], h, cfg.ln_eps,
                                  cfg.postnorm)
 
-    if cfg.postnorm:
+    fused_attn = None
+    if rope_tables is None and rel_pos_bias is None:
+        fused_attn = _fused_attn_branch(cfg, p, x, g1)
+    if fused_attn is not None:
+        x = fused_attn
+    elif cfg.postnorm:
         x = x + scaled(L.layer_norm(p["norm1"], attn(x), cfg.ln_eps), g1)
-        y = fused_mlp_branch(x)
-        x = y if y is not None else (
-            x + scaled(L.layer_norm(p["norm2"], mlp(x), cfg.ln_eps), g2))
     else:
         x = x + scaled(attn(L.layer_norm(p["norm1"], x, cfg.ln_eps)), g1)
-        y = fused_mlp_branch(x)
-        x = y if y is not None else (
-            x + scaled(mlp(L.layer_norm(p["norm2"], x, cfg.ln_eps)), g2))
-    return x
+
+    y = fused_mlp_branch(x)
+    if y is not None:
+        return y
+    if cfg.postnorm:
+        return x + scaled(L.layer_norm(p["norm2"], mlp(x), cfg.ln_eps), g2)
+    return x + scaled(mlp(L.layer_norm(p["norm2"], x, cfg.ln_eps)), g2)
 
 
 def forward_features(params: dict, cfg: VisionConfig, images: jax.Array,

@@ -267,6 +267,131 @@ def batched_mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return out.transpose(0, 2, 1, 3)[:, :s]
 
 
+# ---------------------------------------------------------------------------
+# Packed-QKV variant: consumes the fused QKV projection output directly.
+#
+# The BSHD kernels above still cost four whole-tensor HBM transposes per
+# ViT layer ([B,S,H,D] -> [B,H,S,D] for q/k/v and back for o) — measured
+# ~0.6 ms/layer at ViT-g batch 32, the largest remaining gap to the matmul
+# roofline. This kernel removes all of them: the [B, S, 3*H*D] output of
+# the qkv dense is viewed as [B, S, 3, H*D] (free reshape) and passed
+# three times with index maps pinning the q/k/v plane; heads are sliced as
+# contiguous lane ranges inside VMEM (a cheap in-core relayout, not an HBM
+# pass), and the output is written directly in [B, S, H*D] — exactly what
+# the proj matmul consumes.
+#
+# Constraint: a blocked lane dim must be a multiple of 128, so the head
+# group hg must satisfy (hg * D) % 128 == 0 unless hg == H. Both Emu ViTs
+# qualify: ViT-g 16x88 = 1408 = 11*128 (hg=16), EVA-4B 8x112 = 896 = 7*128.
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hg, d, s_real):
+    skv = k_ref.shape[1]
+    # kv-padding mask as a [1, skv] additive bias row — broadcast into the
+    # logits add, never materializing a [bq, skv] mask (VMEM-stack bound).
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, skv), 1)
+    pad_bias = jnp.where(col < s_real, 0.0, _NEG)
+    for hh in range(hg):                  # static unroll over the head group
+        q = q_ref[0, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+        k = k_ref[0, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + pad_bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v_ref.dtype),
+                                v_ref[0, :, hh * d:(hh + 1) * d],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, hh * d:(hh + 1) * d] = (o / denom).astype(o_ref.dtype)
+
+
+def _packed_vmem(hg, d, bq, s_pad, itemsize):
+    """Mosaic scoped-VMEM footprint model, calibrated against the
+    compiler's own accounting (EVA-4B hg=8 bq=344 s_pad=1032 reports
+    18.16 MB; this model gives 18.1)."""
+    lanes = _round_up(hg * d, 128)
+    kv = 2 * 2 * s_pad * lanes * itemsize            # k+v double-buffered
+    qo = 2 * 2 * bq * lanes * itemsize               # q block + out block
+    tmp = 4.5 * bq * _round_up(s_pad, 128) * 4       # logits/exp/cast temps
+    casts = 8 * s_pad * 128                          # per-head q/k fp32
+    return kv + qo + tmp + casts
+
+
+def packed_qkv_plan(h: int, d: int, s: int, itemsize: int):
+    """(hg, bq, s_pad) for mha_packed_qkv, or None if nothing fits.
+
+    hg: head group with (hg*d) % 128 == 0 (the lane-block rule — blocks of
+    the packed [B, S, 3*H*D] lane dim must be 128-aligned). s_pad: the
+    padded sequence (8-aligned, or 128-aligned when the 8-aligned length
+    factors badly, e.g. 1032 = 8*3*43 only offers bq 344/24). bq: the
+    largest query block with everything under Mosaic's 16 MB scoped limit.
+    Candidates are ranked by total work (s_pad) then by bq."""
+    groups = [g for g in range(h, 0, -1)
+              if h % g == 0 and (g * d) % 128 == 0]
+    cands = []
+    for hg in groups:
+        for s_pad in sorted({_round_up(s, 8), _round_up(s, 128)}):
+            fits = [bq for bq in range(8, min(s_pad, 512) + 1, 8)
+                    if s_pad % bq == 0
+                    and _packed_vmem(hg, d, bq, s_pad, itemsize) <= 15.5e6]
+            if fits:
+                cands.append((hg, max(fits), s_pad))
+    if not cands:
+        return None
+    # A bq below 64 underfills the MXU badly; prefer any plan with bq>=64,
+    # then least padded work, then biggest head group / query block.
+    return min(cands, key=lambda c: (c[1] < 64, c[2], -c[0], -c[1]))
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim",
+                                              "scale", "interpret"))
+def mha_packed_qkv(qkv: jax.Array, num_heads: int, head_dim: int, *,
+                   scale: float = 1.0, interpret: bool = False) -> jax.Array:
+    """qkv [B, S, 3*H*D] (q|k|v blocks, the fused-projection layout) →
+    attention output [B, S, H*D], no HBM transposes on either side.
+
+    Unmasked self-attention (the ViT encoder path). See packed_qkv_plan
+    for the blocking rules."""
+    b, s, three_hd = qkv.shape
+    hd = num_heads * head_dim
+    assert three_hd == 3 * hd
+    plan = packed_qkv_plan(num_heads, head_dim, s, qkv.dtype.itemsize)
+    assert plan is not None, "no head-group fits VMEM; use batched_mha"
+    hg, bq, s_pad = plan
+    x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    # The q/k/v planes are contiguous hd-wide lane ranges of the packed
+    # array; with lane blocks of hg*D, head group g of plane p starts at
+    # lane-block index p*(H/hg) + g. The same array is passed three times
+    # with the three plane offsets baked into the index maps.
+    nb = num_heads // hg
+
+    def spec(plane):                      # k/v: all rows, one head group
+        return pl.BlockSpec((1, s_pad, hg * head_dim),
+                            lambda b_, g, iq, p=plane: (b_, 0, p * nb + g),
+                            memory_space=pltpu.VMEM)
+
+    q_spec = pl.BlockSpec((1, bq, hg * head_dim),
+                          lambda b_, g, iq: (b_, iq, g),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_packed_kernel, scale=scale, hg=hg,
+                               d=head_dim, s_real=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nb, s_pad // bq),
+        in_specs=[q_spec, spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, bq, hg * head_dim),
+                               lambda b_, g, iq: (b_, iq, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), qkv.dtype),
+        interpret=interpret,
+    )(x, x, x)
+    return out[:, :s]
+
+
 # K/V for one (batch, head) beyond this stay out of single-pass VMEM
 _STREAMING_THRESHOLD = 4096
 

@@ -119,6 +119,102 @@ def _make_kernel(activation: str, ln_mode, residual: bool, eps: float):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Fused single dense: [LN →] x@W+b [→ LN] [→ +residual] in one kernel.
+#
+# Covers the ViT attention branch's two norm placements (the MLP branch
+# already fuses via fused_mlp): pre-norm LN1+QKV projection (Emu1 ViT-g)
+# and post-norm proj+LN1+residual (Emu2 EVA-4B). Removes the standalone
+# fp32 LayerNorm HBM pass per block (ref semantics: transformer.py:25-31).
+# ---------------------------------------------------------------------------
+
+
+def _make_dense_kernel(ln_mode, residual: bool, eps: float):
+    def kernel(*refs):
+        idx = 0
+        x_ref = refs[idx]; idx += 1
+        w_ref = refs[idx]; idx += 1
+        b_ref = refs[idx]; idx += 1
+        if ln_mode:
+            lns_ref, lnb_ref = refs[idx:idx + 2]; idx += 2
+        res_ref = None
+        if residual:
+            res_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]; idx += 1
+        xn = refs[idx] if ln_mode == "pre" else x_ref
+
+        if ln_mode == "pre":
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                xn[:] = _layer_norm32(x_ref[:].astype(jnp.float32),
+                                      lns_ref, lnb_ref, eps).astype(xn.dtype)
+
+        y = jax.lax.dot_general(xn[:], w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + b_ref[0].astype(jnp.float32)
+        if ln_mode == "post":
+            y = _layer_norm32(y, lns_ref, lnb_ref, eps)
+        if residual:
+            y = y + res_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ln_mode", "eps", "bm", "bn", "interpret"))
+def fused_dense(x: jax.Array, w: jax.Array, b=None, ln_scale=None,
+                ln_bias=None, residual=None, *, ln_mode=None,
+                eps: float = 1e-6, bm: int = 512, bn: int = 512,
+                interpret: bool = False) -> jax.Array:
+    """x [..., K] → [..., N]: [LN →] x@W+b [→ LN] [→ +residual].
+
+    ln_mode "pre" normalizes the input (fp32, cached per row block);
+    "post" normalizes the matmul output — this needs the full output row,
+    so the N dim runs as a single block (bn is ignored). `residual` is an
+    explicit [..., N] tensor added after everything, in fp32."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w.shape[1]
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+    m_pad = _round_up(m, bm)
+    xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    if ln_mode == "post":
+        bn = n
+    bn = min(bn, n)
+    assert n % bn == 0, "N must tile by bn"
+    grid = (m_pad // bm, n // bn)
+
+    args = [xf, w, _bias2d(b, n, x.dtype)]
+    in_specs = [pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+                pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j))]
+    if ln_mode:
+        ln_dim = k if ln_mode == "pre" else n
+        args += [ln_scale.reshape(1, -1), ln_bias.reshape(1, -1)]
+        in_specs += [pl.BlockSpec((1, ln_dim), lambda i, j: (0, 0))] * 2
+    if residual is not None:
+        rf = jnp.pad(residual.reshape(-1, n), ((0, m_pad - m), (0, 0)))
+        args.append(rf)
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j)))
+
+    scratch = []
+    if ln_mode == "pre":
+        scratch.append(pltpu.VMEM((bm, k), x.dtype))
+
+    out = pl.pallas_call(
+        _make_dense_kernel(ln_mode, residual is not None, eps),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return out[:m].reshape(*lead, n)
+
+
 def _bias2d(b, f, dtype):
     if b is None:
         b = jnp.zeros((f,), dtype)

@@ -115,3 +115,32 @@ def test_batched_mha_matches_xla(s, d):
     out = batched_mha(q, k, v, scale=d ** -0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
                                atol=2e-3)
+
+
+# --- packed-QKV kernel (transpose-free ViT path) ----------------------------
+
+
+@pytest.mark.parametrize("s,h,d", [(257, 16, 88), (136, 8, 112), (96, 4, 64)])
+def test_mha_packed_qkv_matches_xla(s, h, d):
+    """Consumes [B, S, 3*H*D] q|k|v-packed projections directly."""
+    from emu_tpu.ops.flash_attention import mha_packed_qkv, packed_qkv_plan
+    b = 2
+    assert packed_qkv_plan(h, d, s, 2) is not None
+    qkv = _rand(7, (b, s, 3 * h * d))
+    q, k, v = (t.reshape(b, s, h, d) for t in jnp.split(qkv, 3, axis=-1))
+    ref = _xla_attention(q, k, v, None, None, None, d ** -0.5, False)
+    out = mha_packed_qkv(qkv, h, d, scale=d ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref.reshape(b, s, h * d)),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_packed_qkv_plan_lane_rule():
+    """Head groups must keep (hg*d) % 128 == 0 unless hg == h."""
+    from emu_tpu.ops.flash_attention import packed_qkv_plan
+    plan = packed_qkv_plan(16, 88, 257, 2)       # ViT-g: only hg=16 is legal
+    assert plan is not None and plan[0] == 16
+    plan = packed_qkv_plan(16, 112, 1025, 2)     # EVA-4B: 8*112 = 896 = 7*128
+    assert plan is not None
+    hg = plan[0]
+    assert hg == 16 or (hg * 112) % 128 == 0

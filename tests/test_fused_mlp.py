@@ -116,3 +116,59 @@ def test_fused_block_swiglu_prenorm():
                     eps=1e-6, bm=64, bf=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+# --- fused single dense ([LN→] matmul [→LN] [+residual]) --------------------
+
+
+def _dense_ref(x, w, b, lns=None, lnb=None, res=None, ln_mode=None, eps=1e-6):
+    if ln_mode == "pre":
+        x = L.layer_norm({"scale": lns, "bias": lnb}, x, eps)
+    y = L.dense({"kernel": w, "bias": b} if b is not None else {"kernel": w},
+                x)
+    if ln_mode == "post":
+        y = L.layer_norm({"scale": lns, "bias": lnb}, y, eps)
+    if res is not None:
+        y = y + res
+    return y
+
+
+def test_fused_dense_pre_ln():
+    from emu_tpu.ops.fused_mlp import fused_dense
+    ks = iter(jax.random.split(jax.random.PRNGKey(9), 8))
+    x = jax.random.normal(next(ks), (3, 70, 256))
+    w = jax.random.normal(next(ks), (256, 384)) * 0.05
+    b = jax.random.normal(next(ks), (384,)) * 0.1
+    lns = 1.0 + 0.1 * jax.random.normal(next(ks), (256,))
+    lnb = 0.1 * jax.random.normal(next(ks), (256,))
+    ref = _dense_ref(x, w, b, lns, lnb, ln_mode="pre")
+    out = fused_dense(x, w, b, lns, lnb, ln_mode="pre", bm=64, bn=128,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dense_post_ln_residual():
+    from emu_tpu.ops.fused_mlp import fused_dense
+    ks = iter(jax.random.split(jax.random.PRNGKey(10), 8))
+    x = jax.random.normal(next(ks), (130, 256))
+    w = jax.random.normal(next(ks), (256, 256)) * 0.05
+    res = jax.random.normal(next(ks), (130, 256))
+    lns = 1.0 + 0.1 * jax.random.normal(next(ks), (256,))
+    lnb = 0.1 * jax.random.normal(next(ks), (256,))
+    ref = _dense_ref(x, w, None, lns, lnb, res=res, ln_mode="post")
+    out = fused_dense(x, w, None, lns, lnb, residual=res, ln_mode="post",
+                      bm=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dense_plain_matmul():
+    from emu_tpu.ops.fused_mlp import fused_dense
+    ks = iter(jax.random.split(jax.random.PRNGKey(11), 4))
+    x = jax.random.normal(next(ks), (64, 128))
+    w = jax.random.normal(next(ks), (128, 256)) * 0.05
+    ref = _dense_ref(x, w, None)
+    out = fused_dense(x, w, bm=64, bn=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

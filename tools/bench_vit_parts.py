@@ -1,0 +1,113 @@
+"""Per-component microbench of the ViT-g layer on real TPU.
+
+Times each piece of the fused block path in isolation (K in-jit iterations,
+min-of-3, one scalar fetch — see bench.py timing notes) and prints
+us/layer-equivalent next to the matmul-roofline ideal at the probed
+sustained TFLOP/s. Run: python tools/bench_vit_parts.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+B, S, W, HID, H, D = 32, 257, 1408, 6144, 16, 88
+M = B * S
+K_ITERS = 50
+
+
+def _fetch(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _time(fn, *args):
+    _fetch(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fetch(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / K_ITERS
+
+
+def loop(f):
+    @jax.jit
+    def run(*args):
+        def body(i, acc):
+            out = f(*((args[0] + (acc * 1e-8).astype(args[0].dtype)),
+                      *args[1:]))
+            return acc + jnp.sum(out.reshape(-1)[:4].astype(jnp.float32))
+        return jax.lax.fori_loop(0, K_ITERS, body, jnp.float32(0))
+    return run
+
+
+def main():
+    import bench
+    tf = bench.chip_health_tflops()
+    print(f"sustained matmul: {tf:.0f} TFLOP/s")
+
+    key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 16))
+    x = jax.random.normal(next(ks), (B, S, W), jnp.bfloat16)
+    wqkv = jax.random.normal(next(ks), (W, 3 * H * D), jnp.bfloat16) * 0.02
+    bqkv = jnp.zeros((3 * H * D,), jnp.bfloat16)
+    lns = jnp.ones((W,), jnp.bfloat16)
+    lnb = jnp.zeros((W,), jnp.bfloat16)
+    qkv = jax.random.normal(next(ks), (B, S, 3 * H * D), jnp.bfloat16)
+    o = jax.random.normal(next(ks), (B, S, H * D), jnp.bfloat16)
+    wproj = jax.random.normal(next(ks), (H * D, W), jnp.bfloat16) * 0.02
+    w1 = jax.random.normal(next(ks), (W, HID), jnp.bfloat16) * 0.02
+    b1 = jnp.zeros((HID,), jnp.bfloat16)
+    w2 = jax.random.normal(next(ks), (HID, W), jnp.bfloat16) * 0.02
+    b2 = jnp.zeros((W,), jnp.bfloat16)
+
+    from emu_tpu.ops.fused_mlp import fused_dense, fused_mlp
+    from emu_tpu.ops.flash_attention import mha_packed_qkv, batched_mha
+
+    def report(name, dt, gflop):
+        ideal = gflop / tf / 1e3
+        print(f"{name:34s} {dt*1e6:8.0f} us/layer  ideal {ideal*1e3:6.0f} us"
+              f"  ({100*ideal/(dt*1e3):3.0f}% of roofline)")
+
+    gf_qkv = 2 * M * W * 3 * H * D / 1e9
+    dt = _time(loop(lambda xx: fused_dense(
+        xx, wqkv, bqkv, lns, lnb, ln_mode="pre", bm=512, bn=384)), x)
+    report("fused LN+QKV dense", dt, gf_qkv)
+
+    dt = _time(loop(lambda xx: jnp.dot(xx, wqkv,
+                                       preferred_element_type=jnp.float32)
+                    .astype(jnp.bfloat16)), x)
+    report("XLA QKV dense (no LN)", dt, gf_qkv)
+
+    gf_mha = 2 * 2 * M * S * H * D / 1e9
+    dt = _time(loop(lambda qq: mha_packed_qkv(qq, H, D, scale=D ** -0.5)),
+               qkv)
+    report("mha_packed_qkv", dt, gf_mha)
+
+    def split_mha(qq):
+        q, k, v = (t.reshape(B, S, H, D) for t in jnp.split(qq, 3, axis=-1))
+        return batched_mha(q, k, v, scale=D ** -0.5).reshape(B, S, H * D)
+    dt = _time(loop(split_mha), qkv)
+    report("split + batched_mha + reshape", dt, gf_mha)
+
+    gf_proj = 2 * M * H * D * W / 1e9
+    dt = _time(loop(lambda oo: jnp.dot(oo, wproj,
+                                       preferred_element_type=jnp.float32)
+                    .astype(jnp.bfloat16)), o)
+    report("XLA proj dense", dt, gf_proj)
+
+    gf_mlp = 2 * 2 * M * W * HID / 1e9
+    dt = _time(loop(lambda xx: fused_mlp(
+        xx, w1, b1, w2, b2, ln_mode="pre", residual=True, eps=1e-6,
+        ln_scale=lns, ln_bias=lnb, bm=512, bf=768)), x)
+    report("fused LN+MLP+residual", dt, gf_mlp)
+
+    total_gf = gf_qkv + gf_mha + gf_proj + gf_mlp
+    print(f"layer total ideal at {tf:.0f} TF/s: "
+          f"{total_gf / tf * 1e3:.2f} ms -> "
+          f"{B / (40 * total_gf / tf / 1e3):.0f} img/s roofline")
+
+
+if __name__ == "__main__":
+    main()
