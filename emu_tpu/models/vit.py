@@ -132,19 +132,21 @@ def init(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
 
 def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
                        g1) -> Optional[jax.Array]:
-    """Whole attention residual branch on the packed-QKV pallas path.
+    """Whole attention residual branch in head-major (BHSD) form.
 
-    pre-norm:  x + [g1 *] proj(MHA(qkv(LN(x))))   (LN fused into the qkv
-               matmul kernel when there are enough rows);
-    post-norm: x + [g1 *] LN(proj(MHA(qkv(x))))   (LN + residual fused
-               into the proj matmul kernel when g1 is None).
+    pre-norm:  x + [g1 *] proj(MHA(qkv(LN(x))));
+    post-norm: x + [g1 *] LN(proj(MHA(qkv(x)))).
 
-    The MHA kernel consumes the qkv projection output [B, S, 3*H*D]
-    directly and emits [B, S, H*D] — no HBM-layout transposes anywhere in
-    the branch (the BSHD->BHSD round trips were the largest remaining
-    ViT-g cost after the fused MLP). Returns None when ineligible (CPU,
-    fp32, sub-LN, quantized, VMEM plan absent); caller falls back.
-    EMU_TPU_FUSED_ATTN=0 disables."""
+    The q/k/v projections are einsums with head-major *output* layout
+    ("bsm,mhd->bhsd") — XLA fuses the transpose into the matmul epilogue —
+    and the proj consumes the kernel's BHSD output the same way
+    ("bhsd,hdw->bsw"), so the branch has no standalone HBM transposes and
+    the pallas kernel slices heads on a major block axis (free, unlike
+    lane-offset slices of a packed [B,S,3HD] tile at D=88: measured
+    ~0.45 ms/layer faster at ViT-g batch 32 on v5e-1). q/v biases ride
+    inside the kernel. Returns None when ineligible (CPU, fp32, sub-LN,
+    quantized, no VMEM plan); caller falls back. EMU_TPU_FUSED_ATTN=0
+    disables."""
     import os
     if os.environ.get("EMU_TPU_FUSED_ATTN") == "0":
         return None
@@ -155,39 +157,41 @@ def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
     pa = p["attn"]
     if "kernel" not in pa["qkv"] or "kernel" not in pa["proj"]:
         return None
-    from emu_tpu.ops.flash_attention import mha_packed_qkv, packed_qkv_plan
+    from emu_tpu.ops.flash_attention import bhsd_plan, mha_bhsd
     b, s, _ = x.shape
-    if s < 64 or packed_qkv_plan(cfg.num_heads, cfg.head_width, s,
-                                 x.dtype.itemsize) is None:
+    h, d, w = cfg.num_heads, cfg.head_width, cfg.width
+    plan = bhsd_plan(h, d, s, x.dtype.itemsize)
+    if s < 64 or plan is None:
         return None
-    from emu_tpu.ops.fused_mlp import fused_dense
-    n_qkv = pa["qkv"]["kernel"].shape[1]
-    bn_opts = [d for d in range(128, 513, 128) if n_qkv % d == 0]
-    k_bias = jnp.zeros_like(pa["q_bias"])
-    qkv_bias = jnp.concatenate([pa["q_bias"], k_bias, pa["v_bias"]])
-    scale = cfg.head_width ** -0.5
+    s_pad = plan[2]
+    scale = d ** -0.5
+
+    wqkv = pa["qkv"]["kernel"].reshape(w, 3, h, d)
+    wp3 = pa["proj"]["kernel"].reshape(h, d, w)
+
+    def qkv_to_bhsd(src):
+        src = jnp.pad(src, ((0, 0), (0, s_pad - s), (0, 0)))
+        # three head-major-output matmuls (measured faster than one fused
+        # "mthd->tbhsd" einsum: XLA schedules the epilogue better per-plane)
+        return (jnp.einsum("bsm,mhd->bhsd", src,
+                           wqkv[:, t].astype(src.dtype),
+                           preferred_element_type=jnp.float32
+                           ).astype(src.dtype) for t in range(3))
+
+    def attn_out(src):
+        q, k, v = qkv_to_bhsd(src)
+        o = mha_bhsd(q, k, v, pa["q_bias"], pa["v_bias"], scale=scale,
+                     s_real=s)
+        y = jnp.einsum("bhsd,hdw->bsw", o, wp3.astype(o.dtype),
+                       preferred_element_type=jnp.float32)
+        if "bias" in pa["proj"]:
+            y = y + pa["proj"]["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)[:, :s]
 
     if cfg.postnorm:
-        qkv = L.dense({"kernel": pa["qkv"]["kernel"], "bias": qkv_bias}, x)
-        o = mha_packed_qkv(qkv, cfg.num_heads, cfg.head_width, scale=scale)
-        if g1 is None:
-            return fused_dense(o, pa["proj"]["kernel"], pa["proj"].get("bias"),
-                               p["norm1"]["scale"], p["norm1"]["bias"],
-                               residual=x, ln_mode="post", eps=cfg.ln_eps,
-                               bm=256)
-        y = L.layer_norm(p["norm1"], L.dense(pa["proj"], o), cfg.ln_eps)
-        return x + y * g1.astype(y.dtype)
-
-    if b * s >= 1024 and bn_opts:
-        qkv = fused_dense(x, pa["qkv"]["kernel"], qkv_bias,
-                          p["norm1"]["scale"], p["norm1"]["bias"],
-                          ln_mode="pre", eps=cfg.ln_eps,
-                          bm=512, bn=max(bn_opts))
+        y = L.layer_norm(p["norm1"], attn_out(x), cfg.ln_eps)
     else:
-        qkv = L.dense({"kernel": pa["qkv"]["kernel"], "bias": qkv_bias},
-                      L.layer_norm(p["norm1"], x, cfg.ln_eps))
-    o = mha_packed_qkv(qkv, cfg.num_heads, cfg.head_width, scale=scale)
-    y = L.dense(pa["proj"], o)
+        y = attn_out(L.layer_norm(p["norm1"], x, cfg.ln_eps))
     if g1 is not None:
         y = y * g1.astype(y.dtype)
     return x + y

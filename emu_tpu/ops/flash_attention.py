@@ -43,8 +43,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
             diag_offset, bq, skv_real):
-    q = q_ref[0, 0].astype(jnp.float32)            # [bq, D]
-    k = k_ref[0, 0].astype(jnp.float32)            # [Skv, D]
+    q = q_ref[0, 0]                                 # [bq, D]
+    k = k_ref[0, 0]                                 # [Skv, D]
     v = v_ref[0, 0]                                 # [Skv, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -92,8 +92,8 @@ def _stream_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, acc, m_st, l_st,
 
     @pl.when(visible)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)         # [bq, D]
-        k = k_ref[0, 0].astype(jnp.float32)         # [bk, D]
+        q = q_ref[0, 0]                              # [bq, D]
+        k = k_ref[0, 0]                              # [bk, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
@@ -197,8 +197,8 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hb, s_real):
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     keep = col < s_real
     for hh in range(hb):         # static unroll over the head block
-        q = q_ref[0, hh].astype(jnp.float32)
-        k = k_ref[0, hh].astype(jnp.float32)
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = jnp.where(keep, s, _NEG)
@@ -293,8 +293,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hg, d, s_real):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, skv), 1)
     pad_bias = jnp.where(col < s_real, 0.0, _NEG)
     for hh in range(hg):                  # static unroll over the head group
-        q = q_ref[0, :, hh * d:(hh + 1) * d].astype(jnp.float32)
-        k = k_ref[0, :, hh * d:(hh + 1) * d].astype(jnp.float32)
+        q = q_ref[0, :, hh * d:(hh + 1) * d]
+        k = k_ref[0, :, hh * d:(hh + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + pad_bias
@@ -390,6 +390,104 @@ def mha_packed_qkv(qkv: jax.Array, num_heads: int, head_dim: int, *,
         interpret=interpret,
     )(x, x, x)
     return out[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# BHSD-direct variant: inputs/outputs already head-major [B, H, S, D].
+#
+# The fastest ViT formulation measured on v5e-1: the q/k/v projections are
+# einsums with head-major *output* layouts ("bsm,mhd->bhsd") whose
+# transposes XLA fuses into the matmul epilogue, and this kernel then
+# slices heads on a major block axis — free, unlike the ~0.5 ms/layer of
+# in-kernel lane relayouts the packed-QKV kernel pays at D=88, and unlike
+# the ~0.2 ms of standalone HBM transposes batched_mha pays. The q/v
+# projection biases are folded in here (k bias is identically zero in EVA,
+# and a v bias is equivalent to adding it to the output rows — but we add
+# it to v directly, which is just as free on the VPU).
+# ---------------------------------------------------------------------------
+
+
+def _bhsd_kernel(q_ref, k_ref, v_ref, bq_ref, bv_ref, o_ref, *,
+                 scale, hb, s_real):
+    skv = k_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, skv), 1)
+    pad_bias = jnp.where(col < s_real, 0.0, _NEG)
+    for hh in range(hb):                  # head slice on a major dim: free
+        q = q_ref[0, hh] + bq_ref[hh]     # bias [1, D] broadcasts over rows
+        k = k_ref[0, hh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + pad_bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v_ref.dtype),
+                                v_ref[0, hh] + bv_ref[hh],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, hh] = (o / denom).astype(o_ref.dtype)
+
+
+def bhsd_plan(h: int, d: int, s: int, itemsize: int):
+    """(hb, bq, s_pad) for mha_bhsd, or None (s too short to bother).
+
+    No lane-alignment constraint (D is the minor dim of its own tile), so
+    any head block works; size against the same calibrated VMEM model."""
+    cands = []
+    d_pad = _round_up(max(d, 128), 128)
+    for s_pad in sorted({_round_up(s, 8), _round_up(s, 128)}):
+        for hb in range(h, 0, -1):
+            if h % hb:
+                continue
+            for bq in range(min(s_pad, 512), 7, -8):
+                if s_pad % bq:
+                    continue
+                kv = 2 * 2 * s_pad * d_pad * hb * itemsize
+                qo = 2 * 2 * bq * d_pad * hb * itemsize
+                tmp = 4.5 * bq * _round_up(s_pad, 128) * 4
+                if kv + qo + tmp <= 15.5e6:
+                    cands.append((hb, bq, s_pad))
+                break                      # only the largest bq per (pad, hb)
+    if not cands:
+        return None
+    return min(cands, key=lambda c: (c[1] < 64, c[2], -c[0], -c[1]))
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "s_real", "interpret"))
+def mha_bhsd(q: jax.Array, k: jax.Array, v: jax.Array,
+             q_bias: Optional[jax.Array] = None,
+             v_bias: Optional[jax.Array] = None, *,
+             scale: float = 1.0, s_real: Optional[int] = None,
+             interpret: bool = False) -> jax.Array:
+    """Unmasked self-attention on head-major [B, H, S', D] inputs.
+
+    S' must be padded (8-aligned) by the caller per bhsd_plan; rows beyond
+    `s_real` are masked out of the softmax. q_bias/v_bias are per-head
+    [H, D] projection biases applied in-kernel."""
+    b, h, sp, d = q.shape
+    s_real = sp if s_real is None else s_real
+    plan = bhsd_plan(h, d, s_real, q.dtype.itemsize)
+    assert plan is not None and plan[2] == sp, (plan, sp)
+    hb, bq, _ = plan
+    zeros = jnp.zeros((h, 1, d), q.dtype)
+    qb = zeros if q_bias is None else q_bias.reshape(h, 1, d).astype(q.dtype)
+    vb = zeros if v_bias is None else v_bias.reshape(h, 1, d).astype(q.dtype)
+
+    kern = functools.partial(_bhsd_kernel, scale=scale, hb=hb, s_real=s_real)
+    kv_spec = pl.BlockSpec((1, hb, sp, d), lambda i, g, iq: (i, g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    qo_spec = pl.BlockSpec((1, hb, bq, d), lambda i, g, iq: (i, g, iq, 0),
+                           memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((hb, 1, d), lambda i, g, iq: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // hb, sp // bq),
+        in_specs=[qo_spec, kv_spec, kv_spec, b_spec, b_spec],
+        out_specs=qo_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, qb, vb)
 
 
 # K/V for one (batch, head) beyond this stay out of single-pass VMEM

@@ -144,3 +144,27 @@ def test_packed_qkv_plan_lane_rule():
     assert plan is not None
     hg = plan[0]
     assert hg == 16 or (hg * 112) % 128 == 0
+
+
+@pytest.mark.parametrize("s,h,d", [(257, 16, 88), (96, 4, 64)])
+def test_mha_bhsd_matches_xla(s, h, d):
+    """Head-major kernel with in-kernel q/v projection biases."""
+    from emu_tpu.ops.flash_attention import bhsd_plan, mha_bhsd
+    b = 2
+    plan = bhsd_plan(h, d, s, 2)
+    assert plan is not None
+    s_pad = plan[2]
+    q, k, v = (_rand(40 + i, (b, s, h, d)) for i in range(3))
+    qb = _rand(50, (h * d,)) * 0.3
+    vb = _rand(51, (h * d,)) * 0.3
+    ref = _xla_attention(q + qb.reshape(1, 1, h, d), k,
+                         v + vb.reshape(1, 1, h, d), None, None, None,
+                         d ** -0.5, False)
+    def pad_t(t):
+        t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        return t.transpose(0, 2, 1, 3)
+    out = mha_bhsd(pad_t(q), pad_t(k), pad_t(v), qb, vb, scale=d ** -0.5,
+                   s_real=s, interpret=True)
+    out = out.transpose(0, 2, 1, 3)[:, :s]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)

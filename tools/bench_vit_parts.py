@@ -43,6 +43,8 @@ def loop(f):
 
 
 def main():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
     tf = bench.chip_health_tflops()
     print(f"sustained matmul: {tf:.0f} TFLOP/s")
