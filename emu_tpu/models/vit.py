@@ -155,7 +155,11 @@ def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
     if x.dtype.itemsize > 2 or cfg.subln:
         return None
     pa = p["attn"]
-    if "kernel" not in pa["qkv"] or "kernel" not in pa["proj"]:
+    qkv_q = "kernel_w8a8" in pa["qkv"]
+    proj_q = "kernel_w8a8" in pa["proj"]
+    if not (qkv_q or "kernel" in pa["qkv"]):
+        return None                       # weight-only/int4 forms: fall back
+    if not (proj_q or "kernel" in pa["proj"]):
         return None
     from emu_tpu.ops.flash_attention import bhsd_plan, mha_bhsd
     b, s, _ = x.shape
@@ -166,13 +170,17 @@ def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
     s_pad = plan[2]
     scale = d ** -0.5
 
-    wqkv = pa["qkv"]["kernel"].reshape(w, 3, h, d)
-    wp3 = pa["proj"]["kernel"].reshape(h, d, w)
-
     def qkv_to_bhsd(src):
         src = jnp.pad(src, ((0, 0), (0, s_pad - s), (0, 0)))
         # three head-major-output matmuls (measured faster than one fused
         # "mthd->tbhsd" einsum: XLA schedules the epilogue better per-plane)
+        if qkv_q:
+            from emu_tpu.ops.quant import einsum_w8a8
+            wq4 = pa["qkv"]["kernel_w8a8"].reshape(w, 3, h, d)
+            sq4 = pa["qkv"]["scale"].reshape(3, h, d)
+            return (einsum_w8a8("bsm,mhd->bhsd", src, wq4[:, t],
+                                sq4[t][None, :, None, :]) for t in range(3))
+        wqkv = pa["qkv"]["kernel"].reshape(w, 3, h, d)
         return (jnp.einsum("bsm,mhd->bhsd", src,
                            wqkv[:, t].astype(src.dtype),
                            preferred_element_type=jnp.float32
@@ -182,8 +190,17 @@ def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
         q, k, v = qkv_to_bhsd(src)
         o = mha_bhsd(q, k, v, pa["q_bias"], pa["v_bias"], scale=scale,
                      s_real=s)
-        y = jnp.einsum("bhsd,hdw->bsw", o, wp3.astype(o.dtype),
-                       preferred_element_type=jnp.float32)
+        if proj_q:
+            from emu_tpu.ops.quant import einsum_w8a8
+            y = einsum_w8a8("bhsd,hdw->bsw", o,
+                            pa["proj"]["kernel_w8a8"].reshape(h, d, w),
+                            pa["proj"]["scale"], token_axes=(1, 3)
+                            ).astype(jnp.float32)
+        else:
+            y = jnp.einsum("bhsd,hdw->bsw", o,
+                           pa["proj"]["kernel"].reshape(h, d, w
+                                                        ).astype(o.dtype),
+                           preferred_element_type=jnp.float32)
         if "bias" in pa["proj"]:
             y = y + pa["proj"]["bias"].astype(jnp.float32)
         return y.astype(x.dtype)[:, :s]
@@ -205,8 +222,7 @@ def _block(cfg: VisionConfig, p: dict, x: jax.Array,
         k_bias = jnp.zeros_like(p["attn"]["q_bias"])
         qkv_bias = jnp.concatenate([p["attn"]["q_bias"], k_bias,
                                     p["attn"]["v_bias"]])
-        qkv = L.dense({"kernel": p["attn"]["qkv"]["kernel"],
-                       "bias": qkv_bias}, h)
+        qkv = L.dense(dict(p["attn"]["qkv"], bias=qkv_bias), h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, s, cfg.num_heads, cfg.head_width)
         k = k.reshape(b, s, cfg.num_heads, cfg.head_width)

@@ -120,6 +120,128 @@ def _make_kernel(activation: str, ln_mode, residual: bool, eps: float):
 
 
 # ---------------------------------------------------------------------------
+# W8A8 variant: int8 weights, in-kernel dynamic per-row activation quant,
+# s8 x s8 -> s32 dots on the MXU's int8 path (measured 256 TOP/s vs 150
+# TFLOP/s bf16 on v5e-1). GELU MLP only (the Emu ViT family); the hidden
+# activation re-quantizes per (row, hidden-block) before fc2.
+# ---------------------------------------------------------------------------
+
+
+def _quant_rows(x32):
+    """[M, K] fp32 → (int8, per-row fp32 scale [M, 1])."""
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0,
+                    1e-8)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _make_w8a8_kernel(ln_mode, residual: bool, eps: float):
+    def kernel(*refs):
+        (x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref) = refs[:7]
+        idx = 7
+        if ln_mode:
+            lns_ref, lnb_ref = refs[idx:idx + 2]; idx += 2
+        o_ref = refs[idx]; idx += 1
+        acc, xq, sx = refs[idx:idx + 3]
+
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            xin = x_ref[:].astype(jnp.float32)
+            if ln_mode == "pre":
+                xin = _layer_norm32(xin, lns_ref, lnb_ref, eps)
+            q, s = _quant_rows(xin)
+            xq[:] = q
+            sx[:] = jnp.broadcast_to(s, sx.shape)
+
+        h = jax.lax.dot_general(xq[:], w1_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        h = (h.astype(jnp.float32) * sx[:, :1]
+             * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32))
+        h = _exact_gelu(h)
+        hq, sh = _quant_rows(h)
+        pv = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        acc[:] += pv.astype(jnp.float32) * sh
+
+        @pl.when(j == nj - 1)
+        def _():
+            y = acc[:] * s2_ref[0].astype(jnp.float32) + \
+                b2_ref[0].astype(jnp.float32)
+            if ln_mode == "post":
+                y = _layer_norm32(y, lns_ref, lnb_ref, eps)
+            if residual:
+                y = y + x_ref[:].astype(jnp.float32)
+            o_ref[:] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ln_mode", "residual", "eps", "bm", "bf",
+                                    "interpret"))
+def fused_mlp_w8a8(x: jax.Array, w1_q8: jax.Array, scale1, b1,
+                   w2_q8: jax.Array, scale2, b2, ln_scale=None, ln_bias=None,
+                   *, ln_mode=None, residual: bool = False, eps: float = 1e-6,
+                   bm: int = 512, bf: int = 1024,
+                   interpret: bool = False) -> jax.Array:
+    """W8A8 fused GELU MLP: [LN →] quant → fc1(s8) → gelu → requant →
+    fc2(s8) [→ LN] [→ +residual]. Weights {int8 [K,F]/[F,N], f32 per-out-
+    channel scales}; activations quantize per row inside the kernel."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    f = w1_q8.shape[1]
+    n = w2_q8.shape[1]
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+    m_pad = _round_up(m, bm)
+    f_pad = _round_up(f, bf)
+    xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+
+    def padf(w, axis):
+        pads = [(0, 0), (0, 0)]
+        pads[axis] = (0, f_pad - f)
+        return jnp.pad(w, pads)
+
+    def row(v, dim, dtype=jnp.float32):
+        if v is None:
+            v = jnp.zeros((dim,), dtype)
+        return v.reshape(1, -1).astype(dtype)
+
+    args = [xf, padf(w1_q8, 1), padf(row(scale1, f), 1), padf(row(b1, f), 1),
+            padf(w2_q8, 0), row(scale2, n), row(b2, n)]
+    in_specs = [pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+                pl.BlockSpec((k, bf), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bf), lambda i, j: (0, j)),
+                pl.BlockSpec((1, bf), lambda i, j: (0, j)),
+                pl.BlockSpec((bf, n), lambda i, j: (j, 0)),
+                pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+                pl.BlockSpec((1, n), lambda i, j: (0, 0))]
+    if ln_mode:
+        ln_dim = k if ln_mode == "pre" else n
+        args += [ln_scale.reshape(1, -1), ln_bias.reshape(1, -1)]
+        in_specs += [pl.BlockSpec((1, ln_dim), lambda i, j: (0, 0))] * 2
+    if residual:
+        assert n == k
+
+    out = pl.pallas_call(
+        _make_w8a8_kernel(ln_mode, residual, eps),
+        grid=(m_pad // bm, f_pad // bf),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, n), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32),
+                        pltpu.VMEM((bm, k), jnp.int8),
+                        pltpu.VMEM((bm, 128), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[:m].reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
 # Fused single dense: [LN →] x@W+b [→ LN] [→ +residual] in one kernel.
 #
 # Covers the ViT attention branch's two norm placements (the MLP branch

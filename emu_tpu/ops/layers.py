@@ -43,6 +43,9 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
     Also consumes int8 weight-only-quantized params
     ({"kernel_q8", "scale"}, see emu_tpu.ops.quant) — the dequantize fuses
     into the matmul's operand load under XLA."""
+    if "kernel_w8a8" in params:
+        from emu_tpu.ops.quant import dense_w8a8
+        return dense_w8a8(params, x)
     if "kernel_q8" in params:
         w = (params["kernel_q8"].astype(x.dtype)
              * params["scale"].astype(x.dtype)[..., None, :])
@@ -134,13 +137,39 @@ def _fused_mlp_bf(params, x, names):
     return None
 
 
+def _fused_mlp_w8a8_bf(params, x, names):
+    """(bm, bf) for the int8 fused MLP kernel, or None. GELU family only;
+    int8 weight blocks are half-size, so hidden blocks run larger."""
+    import os
+    if os.environ.get("EMU_TPU_FUSED_MLP") == "0":
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    if len(names) != 2 or "ffn_ln" in params:
+        return None
+    if any("kernel_w8a8" not in params[n] for n in names):
+        return None
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    if m < 2048 or x.dtype.itemsize > 2:
+        return None
+    dim = max(x.shape[-1], params[names[-1]]["kernel_w8a8"].shape[1])
+    if dim <= 1536:
+        return (512, 768)
+    if dim <= 2304:
+        return (256, 768)
+    return None
+
+
 def gelu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
              ) -> jax.Array:
     """ViT MLP: Linear → exact GELU → (optional sub-LN) → Linear.
 
     Ref: Emu1/models/eva_vit_model.py Mlp (torch nn.GELU = exact erf gelu).
     On TPU, big unquantized shapes run as one fused pallas kernel (the erf
-    GELU executes in the MXU's shadow; see ops/fused_mlp.py).
+    GELU executes in the MXU's shadow; see ops/fused_mlp.py); W8A8 shapes
+    run the int8-MXU fused variant.
     """
     blk = _fused_mlp_bf(params, x, ("fc1", "fc2"))
     if blk is not None:
@@ -148,6 +177,14 @@ def gelu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
         return fused_mlp(x, params["fc1"]["kernel"], params["fc1"].get("bias"),
                          params["fc2"]["kernel"], params["fc2"].get("bias"),
                          bm=blk[0], bf=blk[1])
+    blk = _fused_mlp_w8a8_bf(params, x, ("fc1", "fc2"))
+    if blk is not None:
+        from emu_tpu.ops.fused_mlp import fused_mlp_w8a8
+        return fused_mlp_w8a8(
+            x, params["fc1"]["kernel_w8a8"], params["fc1"]["scale"],
+            params["fc1"].get("bias"), params["fc2"]["kernel_w8a8"],
+            params["fc2"]["scale"], params["fc2"].get("bias"),
+            bm=blk[0], bf=blk[1])
     h = dense(params["fc1"], x)
     h = jax.nn.gelu(h, approximate=False)
     if "ffn_ln" in params:
@@ -163,21 +200,28 @@ def fused_block_mlp(norm_params: dict, mlp_params: dict, x: jax.Array,
     pre-norm (Emu1):  x + mlp(LN(x));  post-norm (Emu2): x + LN(mlp(x)).
     """
     names = ("w1", "w2", "w3") if "w1" in mlp_params else ("fc1", "fc2")
-    blk = _fused_mlp_bf(mlp_params, x, names)
-    if blk is None:
-        return None
-    from emu_tpu.ops.fused_mlp import fused_mlp
-    kw = dict(ln_mode="post" if postnorm else "pre", residual=True, eps=eps,
-              ln_scale=norm_params["scale"], ln_bias=norm_params["bias"],
-              bm=blk[0], bf=blk[1])
     p = mlp_params
-    if names[0] == "w1":
-        return fused_mlp(x, p["w1"]["kernel"], p["w1"].get("bias"),
-                         p["w2"]["kernel"], p["w2"].get("bias"),
-                         p["w3"]["kernel"], p["w3"].get("bias"),
-                         activation="swiglu", **kw)
-    return fused_mlp(x, p["fc1"]["kernel"], p["fc1"].get("bias"),
-                     p["fc2"]["kernel"], p["fc2"].get("bias"), **kw)
+    kw = dict(ln_mode="post" if postnorm else "pre", residual=True, eps=eps,
+              ln_scale=norm_params["scale"], ln_bias=norm_params["bias"])
+    blk = _fused_mlp_bf(mlp_params, x, names)
+    if blk is not None:
+        from emu_tpu.ops.fused_mlp import fused_mlp
+        kw.update(bm=blk[0], bf=blk[1])
+        if names[0] == "w1":
+            return fused_mlp(x, p["w1"]["kernel"], p["w1"].get("bias"),
+                             p["w2"]["kernel"], p["w2"].get("bias"),
+                             p["w3"]["kernel"], p["w3"].get("bias"),
+                             activation="swiglu", **kw)
+        return fused_mlp(x, p["fc1"]["kernel"], p["fc1"].get("bias"),
+                         p["fc2"]["kernel"], p["fc2"].get("bias"), **kw)
+    blk = _fused_mlp_w8a8_bf(mlp_params, x, names)
+    if blk is not None:
+        from emu_tpu.ops.fused_mlp import fused_mlp_w8a8
+        return fused_mlp_w8a8(
+            x, p["fc1"]["kernel_w8a8"], p["fc1"]["scale"],
+            p["fc1"].get("bias"), p["fc2"]["kernel_w8a8"], p["fc2"]["scale"],
+            p["fc2"].get("bias"), bm=blk[0], bf=blk[1], **kw)
+    return None
 
 
 def swiglu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None

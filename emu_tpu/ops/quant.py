@@ -1,13 +1,18 @@
-"""Weight-only int8 quantization.
+"""int8 quantization: weight-only (decode) and W8A8 dynamic (encode).
 
 The TPU replacement for the reference demo's 4-bit bitsandbytes serving
 mode (ref Emu2/demo/backend/hf_model/emu/chat.py:59-67): per-output-channel
 symmetric int8 kernels with bf16 scales. Essential for Emu2-33B on v5e
 (16 GB/chip): bf16 66 GB → int8 33 GB, TP-sharded 8-way ≈ 4.2 GB/chip.
 
-`emu_tpu.ops.layers.dense` consumes quantized param dicts transparently:
-{"kernel_q8": int8 [in, out], "scale": f32 [out]} — XLA fuses the
-dequantize into the matmul's operand load.
+Two consumption modes, distinguished by the param key:
+- {"kernel_q8", "scale"} — weight-only: `layers.dense` dequantizes into
+  the matmul operand load (bf16 MXU). Right for HBM-bound decode.
+- {"kernel_w8a8", "scale"} — W8A8 dynamic: activations quantize per token
+  at matmul time and the dot runs s8 x s8 -> s32 on the MXU's int8 path
+  (measured 256 TOP/s vs 150 TFLOP/s bf16 on v5e-1, 1.7x). Right for
+  MXU-bound encode (ViT). Per-token x per-out-channel scales is the
+  standard W8A8 recipe.
 """
 
 from __future__ import annotations
@@ -33,6 +38,50 @@ def quantize_kernel(kernel: jax.Array) -> dict:
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(kf / scale[..., None, :]), -127, 127)
     return {"kernel_q8": q.astype(jnp.int8), "scale": scale}
+
+
+def quantize_activations(x: jax.Array):
+    """Per-token symmetric int8: [..., K] → (int8 values, f32 scale [..., 1])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                    1e-8)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def dense_w8a8(params: dict, x: jax.Array) -> jax.Array:
+    """W8A8 dense: dynamic per-token activation quant, s8xs8->s32 MXU dot,
+    rank-1 rescale (per-token x per-out-channel), fp32 bias."""
+    xq, sx = quantize_activations(x)
+    y = jax.lax.dot_general(xq, params["kernel_w8a8"],
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * params["scale"].astype(jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def einsum_w8a8(spec: str, x: jax.Array, kernel_w8a8: jax.Array,
+                scale: jax.Array, token_axes=(-1,)) -> jax.Array:
+    """W8A8 einsum for head-major projections (e.g. "bsm,mhd->bhsd").
+
+    `token_axes`: x axes reduced by the contraction (the per-token scale
+    is max-abs over them). The weight `scale` must broadcast against the
+    einsum output."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=token_axes, keepdims=True)
+                    / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    y = jnp.einsum(spec, xq, kernel_w8a8, preferred_element_type=jnp.int32)
+    lhs, out = spec.split(",")[0], spec.split("->")[1]
+    kept = [a for a in lhs if a in out]
+    sq = jnp.squeeze(s, axis=token_axes)              # [token dims...]
+    expand = [i for i, a in enumerate(out) if a not in kept]
+    for i in expand:
+        sq = jnp.expand_dims(sq, i)
+    return (y.astype(jnp.float32) * sq
+            * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def quantize_kernel_int4(kernel: jax.Array, group_size: int = 128) -> dict:
@@ -74,12 +123,21 @@ def dequantize_int4(params: dict, dtype) -> jax.Array:
     return w.reshape(*lead, n_in, n_out)
 
 
+VIT_PATTERNS = (
+    r"blocks/attn/(qkv|proj)/kernel$",
+    r"blocks/mlp/(fc1|fc2|w1|w2|w3)/kernel$",
+)
+
+
 def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
-                  bits: int = 8, group_size: int = 128):
+                  bits: int = 8, group_size: int = 128,
+                  act_quant: bool = False):
     """Quantize matching kernels in a param pytree (path-regex match).
 
     bits=8: per-channel symmetric int8; bits=4: nibble-packed grouped int4.
-    """
+    act_quant=True stores int8-MXU W8A8 kernels ({"kernel_w8a8", "scale"},
+    consumed with dynamic per-token activation quant) instead of the
+    weight-only form — use for MXU-bound encoders (pass VIT_PATTERNS)."""
     regexes = [re.compile(p) for p in patterns]
 
     def walk(tree, path=""):
@@ -91,6 +149,10 @@ def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                         and any(r.search(sub) for r in regexes)):
                     if bits == 4:
                         out.update(quantize_kernel_int4(v, group_size))
+                    elif act_quant:
+                        q = quantize_kernel(v)
+                        out.update({"kernel_w8a8": q["kernel_q8"],
+                                    "scale": q["scale"]})
                     else:
                         out.update(quantize_kernel(v))
                 else:

@@ -172,3 +172,82 @@ def test_fused_dense_plain_matmul():
     out = fused_dense(x, w, bm=64, bn=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# --- W8A8 (int8 MXU) paths ---------------------------------------------------
+
+
+def test_dense_w8a8_close_to_fp32():
+    from emu_tpu.ops.quant import quantize_tree
+    ks = iter(jax.random.split(jax.random.PRNGKey(12), 4))
+    p = {"fc": L.dense_init(next(ks), 256, 320)}
+    p["fc"]["kernel"] = jax.random.normal(next(ks), (256, 320)) * 0.05
+    p["fc"]["bias"] = jax.random.normal(next(ks), (320,)) * 0.1
+    x = jax.random.normal(next(ks), (4, 33, 256))
+    ref = np.asarray(L.dense(p["fc"], x))
+    q = quantize_tree(p, patterns=(r"fc/kernel$",), act_quant=True)
+    assert "kernel_w8a8" in q["fc"]
+    out = np.asarray(L.dense(q["fc"], x))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+
+def test_einsum_w8a8_matches_dequant():
+    from emu_tpu.ops.quant import einsum_w8a8, quantize_kernel
+    ks = iter(jax.random.split(jax.random.PRNGKey(13), 4))
+    b, s, w, h, d = 2, 9, 64, 4, 16
+    x = jax.random.normal(next(ks), (b, s, w))
+    kern = jax.random.normal(next(ks), (w, h * d)) * 0.05
+    q = quantize_kernel(kern)
+    ref = jnp.einsum("bsm,mhd->bhsd", x, kern.reshape(w, h, d))
+    out = einsum_w8a8("bsm,mhd->bhsd", x, q["kernel_q8"].reshape(w, h, d),
+                      q["scale"].reshape(h, d)[None, :, None, :])
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel < 0.02, rel
+    # proj form: contract two axes, per-token scale over them
+    o = jax.random.normal(next(ks), (b, h, s, d))
+    kern2 = jax.random.normal(jax.random.PRNGKey(9), (h * d, w)) * 0.05
+    q2 = quantize_kernel(kern2)
+    ref2 = jnp.einsum("bhsd,hdw->bsw", o, kern2.reshape(h, d, w))
+    out2 = einsum_w8a8("bhsd,hdw->bsw", o, q2["kernel_q8"].reshape(h, d, w),
+                       q2["scale"], token_axes=(1, 3))
+    rel2 = np.abs(np.asarray(out2) - np.asarray(ref2)).mean() / \
+        np.abs(np.asarray(ref2)).mean()
+    assert rel2 < 0.02, rel2
+
+
+def test_fused_mlp_w8a8_close_to_fp32():
+    from emu_tpu.ops.fused_mlp import fused_mlp_w8a8
+    from emu_tpu.ops.quant import quantize_kernel
+    p = _params("gelu")
+    x = jax.random.normal(jax.random.PRNGKey(14), (70, 256))
+    ref = np.asarray(L.gelu_mlp(p, x))
+    q1 = quantize_kernel(p["fc1"]["kernel"])
+    q2 = quantize_kernel(p["fc2"]["kernel"])
+    out = np.asarray(fused_mlp_w8a8(
+        x, q1["kernel_q8"], q1["scale"], p["fc1"]["bias"],
+        q2["kernel_q8"], q2["scale"], p["fc2"]["bias"],
+        bm=64, bf=256, interpret=True))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, rel
+
+
+def test_fused_mlp_w8a8_ln_residual():
+    from emu_tpu.ops.fused_mlp import fused_mlp_w8a8
+    from emu_tpu.ops.quant import quantize_kernel
+    ks = iter(jax.random.split(jax.random.PRNGKey(15), 4))
+    p = _params("gelu")
+    x = jax.random.normal(next(ks), (70, 256))
+    lns = 1.0 + 0.1 * jax.random.normal(next(ks), (256,))
+    lnb = 0.1 * jax.random.normal(next(ks), (256,))
+    xn = L.layer_norm({"scale": lns, "bias": lnb}, x)
+    ref = np.asarray(x + L.gelu_mlp(p, xn))
+    q1 = quantize_kernel(p["fc1"]["kernel"])
+    q2 = quantize_kernel(p["fc2"]["kernel"])
+    out = np.asarray(fused_mlp_w8a8(
+        x, q1["kernel_q8"], q1["scale"], p["fc1"]["bias"],
+        q2["kernel_q8"], q2["scale"], p["fc2"]["bias"], lns, lnb,
+        ln_mode="pre", residual=True, bm=64, bf=256, interpret=True))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, rel

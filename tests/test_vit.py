@@ -244,3 +244,23 @@ def test_swiglu_subln_block_matches_torch():
         ref = torch_fwd(torch.tensor(x)).numpy()
     ours = np.asarray(vit._block(cfg, jp, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vit_w8a8_forward_close():
+    """W8A8-quantized ViT (int8-MXU path) tracks the fp32 forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.config import VisionConfig
+    from emu_tpu.models import vit
+    from emu_tpu.ops.quant import VIT_PATTERNS, quantize_tree
+    cfg = VisionConfig(width=128, layers=3, head_width=32, image_size=56,
+                       num_classes=0)
+    params = vit.init(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    ref = np.asarray(vit.forward_features(params, cfg, img))
+    qp = quantize_tree(params, VIT_PATTERNS, act_quant=True)
+    assert "kernel_w8a8" in qp["blocks"]["attn"]["qkv"]
+    out = np.asarray(vit.forward_features(qp, cfg, img))
+    cos = (ref * out).sum() / (np.linalg.norm(ref) * np.linalg.norm(out))
+    assert cos > 0.995, cos
