@@ -71,10 +71,13 @@ def bench_vit_encode(batch=32, k=25, int8: bool = False):
 
 
 def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
-                       int8: bool = False):
+                       quant: str = "bf16"):
     """True 13B layer dims, reduced depth to fit one chip; reported as
-    full-40-layer-equivalent tokens/sec/chip. int8=True benches the
-    weight-only-quantized path (v5e-1: 235 vs 155 tok/s bf16)."""
+    full-40-layer-equivalent tokens/sec/chip. All modes run with fused
+    qkv/gate_up projections (op launch count is a first-order decode
+    cost on this backend). quant: "bf16" | "int8" (weight-only, XLA
+    dequant-fused matmuls) | "int4" (nibble-packed, pallas W4A8 kernel).
+    v5e-1: 162 / 247 / 200 tok/s."""
     from emu_tpu.config import LlamaConfig
     from emu_tpu.generation import GenerationConfig, llama_generate
     from emu_tpu.models import llama
@@ -82,9 +85,10 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
                       num_hidden_layers=layers, num_attention_heads=40,
                       vocab_size=32000, extended_vocab_size=32004)
     params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if int8:
+    if quant != "bf16":
         from emu_tpu.ops.quant import quantize_tree
-        params = quantize_tree(params)
+        params = quantize_tree(params, bits=4 if quant == "int4" else 8)
+    params = llama.fuse_projections(params)
     ids = jnp.full((batch, prompt), 7, jnp.int32)
     mask = jnp.ones_like(ids)
     embeds = llama.embed(params, ids)
@@ -244,7 +248,10 @@ def main():
             ("llama-13B-equiv decode bf16", bench_llama_decode,
              "tok/s/chip"),
             ("llama-13B-equiv decode int8",
-             functools.partial(bench_llama_decode, int8=True),
+             functools.partial(bench_llama_decode, quant="int8"),
+             "tok/s/chip"),
+            ("llama-13B-equiv decode int4",
+             functools.partial(bench_llama_decode, quant="int4"),
              "tok/s/chip"),
             ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
              "tok/s/chip"),

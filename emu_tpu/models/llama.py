@@ -91,6 +91,37 @@ def rope_tables(cfg: LlamaConfig, max_len: Optional[int] = None):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
+def fuse_projections(params: dict) -> dict:
+    """Load-time transform: q/k/v → one `qkv_proj` matmul and gate/up →
+    one `gate_up`, per layer. Column-block concatenation is numerically
+    exact; the win is op count — each decode step launches one projection
+    kernel instead of three (launch overhead is a first-order decode cost,
+    and quantized forms also share one activation-quantization pass).
+    Works on plain, int8 ({kernel_q8, scale}), W8A8 and int4
+    ({kernel_q4, scale4}) param dicts — every form concatenates on the
+    output axis. The unfused layout stays supported (HF parity tests).
+    """
+    keysets = (("kernel",), ("kernel_q8", "scale"), ("kernel_w8a8", "scale"),
+               ("kernel_q4", "scale4"))
+
+    def cat(parts):
+        for keys in keysets:
+            if keys[0] in parts[0]:
+                return {k: jnp.concatenate([p[k] for p in parts], axis=-1)
+                        for k in keys}
+        raise ValueError(f"unrecognized dense params: {list(parts[0])}")
+
+    layers = dict(params["layers"])
+    sa = dict(layers["self_attn"])
+    sa["qkv_proj"] = cat([sa.pop("q_proj"), sa.pop("k_proj"),
+                          sa.pop("v_proj")])
+    mlp = dict(layers["mlp"])
+    mlp["gate_up"] = cat([mlp.pop("gate"), mlp.pop("up")])
+    layers["self_attn"] = sa
+    layers["mlp"] = mlp
+    return dict(params, layers=layers)
+
+
 # ---------------------------------------------------------------------------
 # Layer body
 # ---------------------------------------------------------------------------
@@ -101,33 +132,39 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(b, s, n_heads, head_dim)
 
 
-def _attn(p, cfg: LlamaConfig, x, tables, positions, kv, kv_valid, causal,
-          mask=None):
-    """x: [B, S, D]; kv: (k, v) [B, Skv, H, Dh] full key/value sequence;
-    kv_valid: [B, Skv] padding/slot-validity mask; mask: optional dense
-    [B, 1, S, Skv] (chunked verify: per-query causality inside a cache)."""
-    b, s, d = x.shape
+def _qkv(p, cfg: LlamaConfig, x, tables, positions):
+    """Project x → roped (q, k_new, v_new). One matmul on the fused
+    `qkv_proj` layout (see fuse_projections), three on the HF layout."""
     h, hd = cfg.num_attention_heads, cfg.head_dim
-    q = _split_heads(L.dense(p["q_proj"], x), h, hd)
+    hkv = cfg.kv_heads
+    if "qkv_proj" in p:
+        qkv = L.dense(p["qkv_proj"], x)
+        q, k, v = jnp.split(qkv, [h * hd, (h + hkv) * hd], axis=-1)
+    else:
+        q = L.dense(p["q_proj"], x)
+        k = L.dense(p["k_proj"], x)
+        v = L.dense(p["v_proj"], x)
+    q = _split_heads(q, h, hd)
+    k = _split_heads(k, hkv, hd)
+    v = _split_heads(v, hkv, hd)
     cos, sin = tables
+    q, k = R.apply_llama_rope(q, k, cos, sin, positions)
+    return q, k, v
+
+
+def _attn(p, cfg: LlamaConfig, q, kv, kv_valid, causal, mask=None):
+    """q: roped [B, S, H, Dh]; kv: (k, v) [B, Skv, Hkv, Dh] full key/value
+    sequence; kv_valid: [B, Skv] padding/slot-validity mask; mask: optional
+    dense [B, 1, S, Skv] (chunked verify: per-query causality in a cache)."""
+    b, s, h, hd = q.shape
     k_full, v_full = kv
-    q, _ = R.apply_llama_rope(q, q, cos, sin, positions)
     if cfg.kv_heads != h:            # GQA: broadcast kv groups to q heads
         rep = h // cfg.kv_heads
         k_full = jnp.repeat(k_full, rep, axis=2)
         v_full = jnp.repeat(v_full, rep, axis=2)
     o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
                               causal=causal, mask=mask, scale=hd ** -0.5)
-    return L.dense(p["o_proj"], o.reshape(b, s, d))
-
-
-def _project_kv(p, cfg: LlamaConfig, x, tables, positions):
-    h, hd = cfg.kv_heads, cfg.head_dim
-    k = _split_heads(L.dense(p["k_proj"], x), h, hd)
-    v = _split_heads(L.dense(p["v_proj"], x), h, hd)
-    cos, sin = tables
-    _, k = R.apply_llama_rope(k, k, cos, sin, positions)
-    return k, v
+    return L.dense(p["o_proj"], o.reshape(b, s, h * hd))
 
 
 def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal,
@@ -135,12 +172,20 @@ def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal,
     """One decoder layer; `new_kv_fn(k_new, v_new) -> (k_full, v_full,
     updated_cache_slices)` lets prefill/decode share this body."""
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
-    k_new, v_new = _project_kv(p["self_attn"], cfg, h, tables, positions)
+    q, k_new, v_new = _qkv(p["self_attn"], cfg, h, tables, positions)
     k_full, v_full, cache_out = new_kv_fn(k_new, v_new)
-    x = x + _attn(p["self_attn"], cfg, h, tables, positions,
-                  (k_full, v_full), kv_valid, causal, mask)
-    h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_norm_eps)
-    x = x + L.llama_mlp(p["mlp"], h)
+    x = x + _attn(p["self_attn"], cfg, q, (k_full, v_full), kv_valid,
+                  causal, mask)
+    from emu_tpu.ops.q4_matmul import fused_swiglu_q4, swiglu_q4_plan
+    if swiglu_q4_plan(p["post_attention_layernorm"], p["mlp"], x):
+        gu, dn = p["mlp"]["gate_up"], p["mlp"]["down"]
+        x = fused_swiglu_q4(x, p["post_attention_layernorm"],
+                            gu["kernel_q4"], gu["scale4"],
+                            dn["kernel_q4"], dn["scale4"],
+                            eps=cfg.rms_norm_eps)
+    else:
+        h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = x + L.llama_mlp(p["mlp"], h)
     return x, cache_out
 
 
@@ -361,9 +406,9 @@ def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:
 # ---------------------------------------------------------------------------
 
 sharding_rules = [
-    (r"layers/self_attn/(q|k|v)_proj/kernel", P(None, None, "model")),
+    (r"layers/self_attn/(q|k|v|qkv)_proj/kernel", P(None, None, "model")),
     (r"layers/self_attn/o_proj/kernel", P(None, "model", None)),
-    (r"layers/mlp/(gate|up)/kernel", P(None, None, "model")),
+    (r"layers/mlp/(gate|up|gate_up)/kernel", P(None, None, "model")),
     (r"layers/mlp/down/kernel", P(None, "model", None)),
     (r"embed_tokens", P("model", None)),
     (r"lm_head/kernel", P(None, "model")),

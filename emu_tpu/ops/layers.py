@@ -50,6 +50,10 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
         w = (params["kernel_q8"].astype(x.dtype)
              * params["scale"].astype(x.dtype)[..., None, :])
     elif "kernel_q4" in params:
+        from emu_tpu.ops.q4_matmul import matmul_q4, q4_plan
+        if q4_plan(params, x):
+            return matmul_q4(x, params["kernel_q4"], params["scale4"],
+                             params.get("bias"))
         from emu_tpu.ops.quant import dequantize_int4
         w = dequantize_int4(params, x.dtype)
     else:
@@ -244,7 +248,13 @@ def swiglu_mlp(params: dict, x: jax.Array, subln_eps: Optional[float] = None
 
 
 def llama_mlp(params: dict, x: jax.Array) -> jax.Array:
-    """LLaMA gated MLP: down(silu(gate(x)) * up(x))."""
+    """LLaMA gated MLP: down(silu(gate(x)) * up(x)).
+
+    With the fused `gate_up` layout (llama.fuse_projections) the two
+    input projections run as one matmul."""
+    if "gate_up" in params:
+        g, u = jnp.split(dense(params["gate_up"], x), 2, axis=-1)
+        return dense(params["down"], jax.nn.silu(g) * u)
     return dense(params["down"],
                  jax.nn.silu(dense(params["gate"], x)) * dense(params["up"], x))
 

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 DEFAULT_PATTERNS = (
-    r"self_attn/(q|k|v|o)_proj/kernel$",
-    r"mlp/(gate|up|down)/kernel$",
+    r"self_attn/(q|k|v|o|qkv)_proj/kernel$",
+    r"mlp/(gate|up|down|gate_up)/kernel$",
     r"lm_head/kernel$",
 )
 
@@ -91,17 +91,28 @@ def quantize_kernel_int4(kernel: jax.Array, group_size: int = 128) -> dict:
     per input-group (group_size rows) per output channel — the accuracy
     recipe that makes 4-bit usable (≙ bitsandbytes' blockwise 4-bit,
     ref Emu2 demo backend's load_in_4bit path).
+
+    Fold packing: packed row i holds input row i in the low nibble and
+    row i + n_in/2 in the high nibble, so each nibble plane is a
+    contiguous block of input rows — what lets the pallas W4A8 kernel
+    (ops/q4_matmul.py) consume the halves of x as lane-aligned tiles
+    and extract nibbles with int8-native bitwise ops (Mosaic legalizes
+    no int8 shift/sub). The low nibble stores value+8 so a single AND
+    recovers a linear function of it; the high nibble stores two's
+    complement so (byte & 0xF0) == 16*value exactly. Group boundaries
+    never straddle the fold (asserted).
     """
     *lead, n_in, n_out = kernel.shape
-    assert n_in % group_size == 0 and group_size % 2 == 0
+    assert n_in % group_size == 0 and (n_in // 2) % group_size == 0
     kf = kernel.astype(jnp.float32).reshape(*lead, n_in // group_size,
                                             group_size, n_out)
     scale = jnp.max(jnp.abs(kf), axis=-2) / 7.0          # [..., G, out]
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(kf / scale[..., None, :]), -7, 7)
     q = q.astype(jnp.int8).reshape(*lead, n_in, n_out)
-    low = q[..., 0::2, :]
-    high = q[..., 1::2, :]
+    half = n_in // 2
+    low = q[..., :half, :] + 8                           # biased: [1, 15]
+    high = q[..., half:, :]
     packed = jnp.bitwise_or(jnp.bitwise_and(low, 0x0F),
                             jnp.left_shift(high, 4)).astype(jnp.int8)
     return {"kernel_q4": packed, "scale4": scale}
@@ -112,11 +123,10 @@ def dequantize_int4(params: dict, dtype) -> jax.Array:
     The group size is implied by the shapes (n_in / n_groups)."""
     packed = params["kernel_q4"]
     scale = params["scale4"]
-    low = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend
-    high = jnp.right_shift(packed, 4)
-    q = jnp.stack([low, high], axis=-2)                  # [..., in/2, 2, out]
-    *lead, half, _, n_out = q.shape
-    n_in = half * 2
+    low = jnp.bitwise_and(packed, 0x0F) - 8              # un-bias
+    high = jnp.right_shift(packed, 4)                    # sign-extends
+    q = jnp.concatenate([low, high], axis=-2)            # [..., in, out]
+    *lead, n_in, n_out = q.shape
     group = n_in // scale.shape[-2]
     qf = q.reshape(*lead, n_in // group, group, n_out).astype(dtype)
     w = qf * scale[..., None, :].astype(dtype)

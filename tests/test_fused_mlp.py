@@ -251,3 +251,82 @@ def test_fused_mlp_w8a8_ln_residual():
         ln_mode="pre", residual=True, bm=64, bf=256, interpret=True))
     rel = np.abs(out - ref).mean() / np.abs(ref).mean()
     assert rel < 0.05, rel
+
+
+# --- W4A8 (packed-int4 MXU) path ---------------------------------------------
+
+
+def test_matmul_q4_matches_dequant():
+    """The pallas W4A8 matmul tracks the dequantized-int4 reference; the
+    residual error is the per-token int8 activation quantization."""
+    from emu_tpu.ops.q4_matmul import matmul_q4
+    from emu_tpu.ops.quant import dequantize_int4, quantize_kernel_int4
+    ks = iter(jax.random.split(jax.random.PRNGKey(21), 3))
+    k, n = 256, 192
+    x = jax.random.normal(next(ks), (5, 1, k))
+    kern = jax.random.normal(next(ks), (k, n)) * 0.05
+    q = quantize_kernel_int4(kern, group_size=128)
+    bias = jax.random.normal(next(ks), (n,)) * 0.1
+    w = dequantize_int4(q, jnp.float32)
+    ref = np.asarray(x @ w + bias)
+    out = np.asarray(matmul_q4(x, q["kernel_q4"], q["scale4"], bias,
+                               bm=32, bn=128, interpret=True))
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+
+def test_matmul_q4_n_padding():
+    from emu_tpu.ops.q4_matmul import matmul_q4
+    from emu_tpu.ops.quant import dequantize_int4, quantize_kernel_int4
+    ks = iter(jax.random.split(jax.random.PRNGKey(22), 2))
+    k, n = 256, 96                          # n not a multiple of bn
+    x = jax.random.normal(next(ks), (3, k))
+    kern = jax.random.normal(next(ks), (k, n)) * 0.05
+    q = quantize_kernel_int4(kern, group_size=128)
+    ref = np.asarray(x @ dequantize_int4(q, jnp.float32))
+    out = np.asarray(matmul_q4(x, q["kernel_q4"], q["scale4"],
+                               bm=32, bn=128, interpret=True))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+
+def test_fused_swiglu_q4_matches_reference():
+    """One-call W4A8 swiglu block (rms → gate_up int4 → silu·mul → down
+    int4 → +residual) tracks the dequantized-int4 reference chain."""
+    from emu_tpu.ops.q4_matmul import fused_swiglu_q4
+    from emu_tpu.ops.quant import dequantize_int4, quantize_kernel_int4
+    ks = iter(jax.random.split(jax.random.PRNGKey(30), 5))
+    d, f, m = 512, 2048, 5
+    x = jax.random.normal(next(ks), (m, 1, d))
+    rms = 1.0 + 0.1 * jax.random.normal(next(ks), (d,))
+    w_gu = jax.random.normal(next(ks), (d, 2 * f)) * 0.05
+    w_dn = jax.random.normal(next(ks), (f, d)) * 0.05
+    q_gu = quantize_kernel_int4(w_gu)
+    q_dn = quantize_kernel_int4(w_dn)
+
+    xn = L.rms_norm(rms, x)
+    gu = xn @ dequantize_int4(q_gu, jnp.float32)
+    g, u = jnp.split(gu, 2, axis=-1)
+    ref = np.asarray(x + (jax.nn.silu(g) * u)
+                     @ dequantize_int4(q_dn, jnp.float32))
+
+    out = np.asarray(fused_swiglu_q4(
+        x, rms, q_gu["kernel_q4"], q_gu["scale4"],
+        q_dn["kernel_q4"], q_dn["scale4"], interpret=True))
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, rel
+
+
+def test_fused_swiglu_q4_plan_gates():
+    from emu_tpu.ops.q4_matmul import swiglu_q4_plan
+    import jax as _jax
+    from emu_tpu.ops.quant import quantize_kernel_int4
+    w_gu = jnp.zeros((512, 4096))
+    w_dn = jnp.zeros((2048, 512))
+    p = {"gate_up": quantize_kernel_int4(w_gu),
+         "down": quantize_kernel_int4(w_dn)}
+    x = jnp.zeros((8, 1, 512))
+    # CPU backend → False regardless of layout
+    assert swiglu_q4_plan(jnp.ones((512,)), p, x) is False

@@ -115,3 +115,52 @@ def test_gqa_cached_decode_matches_full_forward(setup):
     np.testing.assert_allclose(
         np.asarray(llama.logits(params, h6[:, 0])), full_logits[:, 5],
         rtol=2e-4, atol=2e-4)
+
+
+def test_fused_projections_match_unfused():
+    """fuse_projections (qkv_proj / gate_up) is numerically exact for
+    plain weights and matches the quantized math when fused after
+    quantization; generation agrees token-for-token."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+    from emu_tpu.ops.quant import quantize_tree
+
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=3, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=128,
+                      extended_vocab_size=128)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[5, 9, 3, 17, 2], [1, 1, 4, 6, 8]], jnp.int32)
+    mask = jnp.array([[0, 1, 1, 1, 1], [1, 1, 1, 1, 1]], jnp.int32)
+    embeds = llama.embed(params, ids)
+
+    ref = np.asarray(llama.forward_hidden(params, cfg, embeds, mask))
+    fused = llama.fuse_projections(params)
+    assert "qkv_proj" in fused["layers"]["self_attn"]
+    assert "q_proj" not in fused["layers"]["self_attn"]
+    out = np.asarray(llama.forward_hidden(fused, cfg, embeds, mask))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # quantize-then-fuse == fuse-then-quantize (int8), and int4 fuses too
+    q8 = quantize_tree(params)
+    a = np.asarray(llama.forward_hidden(llama.fuse_projections(q8), cfg,
+                                        embeds, mask))
+    b = np.asarray(llama.forward_hidden(quantize_tree(fused), cfg,
+                                        embeds, mask))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    q4f = llama.fuse_projections(quantize_tree(params, bits=4))
+    assert "kernel_q4" in q4f["layers"]["self_attn"]["qkv_proj"]
+    c = np.asarray(llama.forward_hidden(q4f, cfg, embeds, mask))
+    cos = (c * ref).sum() / (np.linalg.norm(c) * np.linalg.norm(ref))
+    assert cos > 0.97, cos
+
+    # KV-cached generation: identical streams fused vs unfused
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                            pad_token_id=0)
+    t_ref = np.asarray(llama_generate(params, cfg, embeds, mask, gcfg))
+    t_fused = np.asarray(llama_generate(fused, cfg, embeds, mask, gcfg))
+    np.testing.assert_array_equal(t_fused, t_ref)
