@@ -76,6 +76,9 @@ def dot_product_attention(
     if backend == "batched_mha":
         from emu_tpu.ops import flash_attention as fa
         return fa.batched_mha(q, k, v, scale=float(scale))
+    if backend == "decode":
+        from emu_tpu.ops.decode_attention import decode_attention
+        return decode_attention(q, k, v, kv_valid, scale=float(scale))
     return _xla_attention(q, k, v, bias, mask, kv_valid, scale, causal)
 
 
@@ -96,6 +99,10 @@ def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
         return "xla"
     if force == "1":
         return "flash"
+    if q.shape[1] == 1 and kv_valid is not None:
+        from emu_tpu.ops.decode_attention import decode_attention_fits
+        if decode_attention_fits(q.shape, k.shape, k.dtype.itemsize):
+            return "decode"
     from emu_tpu.ops.flash_attention import mha_fits
     if (not causal and kv_valid is None and q.shape[1] == k.shape[1]
             and 64 <= q.shape[1] and q.shape[-1] <= 256

@@ -168,3 +168,26 @@ def test_mha_bhsd_matches_xla(s, h, d):
     out = out.transpose(0, 2, 1, 3)[:, :s]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_decode_attention_matches_xla():
+    """Single-query (decode) pallas kernel ≡ XLA attention with kv_valid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.attention import _xla_attention
+    from emu_tpu.ops.decode_attention import decode_attention
+    ks = iter(jax.random.split(jax.random.PRNGKey(40), 4))
+    b, s, h, d = 3, 40, 5, 128
+    q = jax.random.normal(next(ks), (b, 1, h, d))
+    k = jax.random.normal(next(ks), (b, s, h, d))
+    v = jax.random.normal(next(ks), (b, s, h, d))
+    # validity: per-row prefix of slots, including some fully-short rows
+    lens = jnp.array([s, 17, 5])
+    valid = (jnp.arange(s)[None, :] < lens[:, None]).astype(jnp.int32)
+    scale = d ** -0.5
+    ref = np.asarray(_xla_attention(q, k, v, None, None, valid, scale,
+                                    False))
+    out = np.asarray(decode_attention(q, k, v, valid, scale=scale,
+                                      interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
