@@ -124,12 +124,18 @@ def bench_llama_prefill(batch=4, seq=2048, layers=8, k=5):
     return batch * seq * k / dt * layers / 40.0
 
 
-def bench_vit_4b_encode(batch=8, k=10):
+def bench_vit_4b_encode(batch=8, k=10, int8: bool = False):
     """Emu2's EVA-4B tower (448px, 1025 tokens, 64 layers) — flash-eligible."""
     from emu_tpu.config import VisionConfig
     from emu_tpu.models import vit
     cfg = VisionConfig.emu2_4b()
     params = vit.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if int8:
+        from emu_tpu.ops.quant import VIT_PATTERNS, quantize_tree
+        # layer_chunked: whole-model fp32 temporaries would OOM 16 GB HBM
+        params = jax.jit(lambda p: quantize_tree(
+            p, VIT_PATTERNS, act_quant=True, layer_chunked=True),
+            donate_argnums=0)(params)
     images = jax.random.normal(jax.random.PRNGKey(1), (batch, 448, 448, 3),
                                jnp.bfloat16)
 
@@ -256,6 +262,9 @@ def main():
             ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
              "tok/s/chip"),
             ("EVA-4B ViT encode 448px", bench_vit_4b_encode, "img/s/chip"),
+            ("EVA-4B ViT encode W8A8 int8",
+             functools.partial(bench_vit_4b_encode, int8=True),
+             "img/s/chip"),
             ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
             ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s")):
         try:

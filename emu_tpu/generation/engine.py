@@ -51,6 +51,7 @@ class GenerationConfig:
     penalty_alpha: float = 0.0          # >0 + top_k>1 → contrastive search
     eos_token_id: int = 2
     pad_token_id: int = 32000
+    kv_cache_quant: bool = False        # int8 KV cache (2x context/chip)
 
 
 # step_fn(cache, tokens [N], slot, slot_mask [N, max_len], positions [N])
@@ -411,12 +412,13 @@ def generate(prefill_fn, step_fn, inputs_embeds, attention_mask,
     return seqs.reshape(b * gcfg.num_return_sequences, gcfg.max_new_tokens)
 
 
-def _llama_prefill_fn(params, cfg, cache_dtype):
+def _llama_prefill_fn(params, cfg, cache_dtype, quant: bool = False):
     from emu_tpu.models import llama
 
     def prefill(embeds, mask, total_len):
         bsz = embeds.shape[0]
-        cache = llama.init_cache(cfg, bsz, total_len, dtype=cache_dtype)
+        cache = llama.init_cache(cfg, bsz, total_len, dtype=cache_dtype,
+                                 quant=quant)
         hidden, cache = llama.prefill(params, cfg, embeds, mask, cache)
         last_logits = llama.logits(params, hidden[:, -1])
         s = embeds.shape[1]
@@ -447,7 +449,8 @@ def _llama_generate_jit(params, cfg, inputs_embeds, attention_mask, gcfg,
             and not gcfg.do_sample:
         return _contrastive_search(params, cfg, inputs_embeds,
                                    attention_mask, gcfg)
-    return generate(_llama_prefill_fn(params, cfg, inputs_embeds.dtype),
+    return generate(_llama_prefill_fn(params, cfg, inputs_embeds.dtype,
+                                      quant=gcfg.kv_cache_quant),
                     _llama_step_fn(params, cfg),
                     inputs_embeds, attention_mask, gcfg, rng, trie)
 

@@ -239,10 +239,58 @@ def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> dict:
+               dtype=jnp.bfloat16, quant: bool = False) -> dict:
+    """KV cache pytree. quant=True stores int8 values with per-(token,
+    head) fp32 scales — 2x the context per chip vs bf16 (the serving
+    lever for Emu2-33B chat histories); the dequantize fuses into the
+    attention einsum's operand load. Prefill attention still uses the
+    exact pre-quantization k/v of the current chunk."""
     shape = (cfg.num_hidden_layers, batch, max_len,
              cfg.kv_heads, cfg.head_dim)
+    if quant:
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def kv_quantize(x: jax.Array):
+    """[..., D] → (int8 values, f32 per-vector scale [...])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _cache_read(c: dict, key: str, dtype) -> jax.Array:
+    if key + "_scale" in c:
+        return (c[key].astype(dtype)
+                * c[key + "_scale"].astype(dtype)[..., None])
+    return c[key].astype(dtype)
+
+
+def _cache_write(c: dict, key: str, new: jax.Array, idx) -> dict:
+    """Update `key` (and its scale plane) in per-layer cache slices.
+    idx: 4-tuple start for dynamic_update_slice, or a (bidx, slots) pair
+    for per-row scatter (continuous batching)."""
+    out = {}
+    if key + "_scale" in c:
+        vals, scale = kv_quantize(new)
+    else:
+        vals, scale = new.astype(c[key].dtype), None
+    if isinstance(idx, tuple) and len(idx) == 4:
+        out[key] = jax.lax.dynamic_update_slice(c[key], vals, idx)
+        if scale is not None:
+            out[key + "_scale"] = jax.lax.dynamic_update_slice(
+                c[key + "_scale"], scale, idx[:3])
+    else:
+        bidx, slots = idx
+        out[key] = c[key].at[bidx, slots].set(vals[:, 0])
+        if scale is not None:
+            out[key + "_scale"] = c[key + "_scale"].at[bidx, slots].set(
+                scale[:, 0])
+    return out
 
 
 def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
@@ -257,26 +305,24 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     max_len = cache["k"].shape[2]
     tables = rope_tables(cfg, max_len)
     positions = _positions_from_mask(attention_mask)
-    cache_dtype = cache["k"].dtype
 
     def body(x, xs):
-        p, k_c, v_c = xs
+        p, c = xs
 
         def write(k_new, v_new):
-            k_cache = jax.lax.dynamic_update_slice(
-                k_c, k_new.astype(cache_dtype), (0, 0, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_c, v_new.astype(cache_dtype), (0, 0, 0, 0))
-            return k_new, v_new, (k_cache, v_cache)
+            c_out = dict(c)
+            c_out.update(_cache_write(c, "k", k_new, (0, 0, 0, 0)))
+            c_out.update(_cache_write(c, "v", v_new, (0, 0, 0, 0)))
+            return k_new, v_new, c_out
 
         x, cache_out = _layer(p, cfg, x, tables, positions, write,
                               attention_mask, True)
         return x, cache_out
 
-    x, (k_all, v_all) = jax.lax.scan(
-        body, inputs_embeds, (params["layers"], cache["k"], cache["v"]))
+    x, cache_out = jax.lax.scan(body, inputs_embeds,
+                                (params["layers"], cache))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all}
+    return hidden, cache_out
 
 
 def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
@@ -294,27 +340,25 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     max_len = cache["k"].shape[2]
     tables = rope_tables(cfg, max_len)
     pos = positions[:, None]                       # [B, 1]
-    cache_dtype = cache["k"].dtype
 
     def body(x, xs):
-        p, k_c, v_c = xs
+        p, c = xs
 
         def write(k_new, v_new):
-            k_cache = jax.lax.dynamic_update_slice(
-                k_c, k_new.astype(cache_dtype), (0, slot, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_c, v_new.astype(cache_dtype), (0, slot, 0, 0))
-            return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
-                    (k_cache, v_cache))
+            c_out = dict(c)
+            c_out.update(_cache_write(c, "k", k_new, (0, slot, 0, 0)))
+            c_out.update(_cache_write(c, "v", v_new, (0, slot, 0, 0)))
+            return (_cache_read(c_out, "k", x.dtype),
+                    _cache_read(c_out, "v", x.dtype), c_out)
 
         x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
                               False)
         return x, cache_out
 
-    x, (k_all, v_all) = jax.lax.scan(
-        body, token_embeds, (params["layers"], cache["k"], cache["v"]))
+    x, cache_out = jax.lax.scan(body, token_embeds,
+                                (params["layers"], cache))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all}
+    return hidden, cache_out
 
 
 def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
@@ -333,31 +377,29 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
     b, qn, _ = token_embeds.shape
     max_len = cache["k"].shape[2]
     tables = rope_tables(cfg, max_len)
-    cache_dtype = cache["k"].dtype
     j = jnp.arange(max_len)[None, None, None, :]          # [1,1,1,Skv]
     i = jnp.arange(qn)[None, None, :, None]               # [1,1,q,1]
     mask = (j < valid_len[:, None, None, None]) | (
         (j >= slot) & (j <= slot + i))                    # [B,1,q,Skv]
 
     def body(x, xs):
-        p, k_c, v_c = xs
+        p, c = xs
 
         def write(k_new, v_new):
-            k_cache = jax.lax.dynamic_update_slice(
-                k_c, k_new.astype(cache_dtype), (0, slot, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_c, v_new.astype(cache_dtype), (0, slot, 0, 0))
-            return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
-                    (k_cache, v_cache))
+            c_out = dict(c)
+            c_out.update(_cache_write(c, "k", k_new, (0, slot, 0, 0)))
+            c_out.update(_cache_write(c, "v", v_new, (0, slot, 0, 0)))
+            return (_cache_read(c_out, "k", x.dtype),
+                    _cache_read(c_out, "v", x.dtype), c_out)
 
         x, cache_out = _layer(p, cfg, x, tables, positions, write, None,
                               False, mask)
         return x, cache_out
 
-    x, (k_all, v_all) = jax.lax.scan(
-        body, token_embeds, (params["layers"], cache["k"], cache["v"]))
+    x, cache_out = jax.lax.scan(body, token_embeds,
+                                (params["layers"], cache))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all}
+    return hidden, cache_out
 
 
 def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
@@ -374,26 +416,26 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
     max_len = cache["k"].shape[2]
     tables = rope_tables(cfg, max_len)
     pos = positions[:, None]                       # [B, 1]
-    cache_dtype = cache["k"].dtype
     bidx = jnp.arange(b)
 
     def body(x, xs):
-        p, k_c, v_c = xs
+        p, c = xs
 
         def write(k_new, v_new):
-            k_cache = k_c.at[bidx, slots].set(k_new[:, 0].astype(cache_dtype))
-            v_cache = v_c.at[bidx, slots].set(v_new[:, 0].astype(cache_dtype))
-            return (k_cache.astype(x.dtype), v_cache.astype(x.dtype),
-                    (k_cache, v_cache))
+            c_out = dict(c)
+            c_out.update(_cache_write(c, "k", k_new, (bidx, slots)))
+            c_out.update(_cache_write(c, "v", v_new, (bidx, slots)))
+            return (_cache_read(c_out, "k", x.dtype),
+                    _cache_read(c_out, "v", x.dtype), c_out)
 
         x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
                               False)
         return x, cache_out
 
-    x, (k_all, v_all) = jax.lax.scan(
-        body, token_embeds, (params["layers"], cache["k"], cache["v"]))
+    x, cache_out = jax.lax.scan(body, token_embeds,
+                                (params["layers"], cache))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all}
+    return hidden, cache_out
 
 
 def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:
@@ -416,4 +458,5 @@ sharding_rules = [
 
 cache_sharding_rules = [
     (r"[kv]$", P(None, "data", None, "model", None)),
+    (r"[kv]_scale$", P(None, "data", None, "model")),
 ]

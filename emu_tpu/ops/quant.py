@@ -141,14 +141,22 @@ VIT_PATTERNS = (
 
 def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                   bits: int = 8, group_size: int = 128,
-                  act_quant: bool = False):
+                  act_quant: bool = False, layer_chunked: bool = False):
     """Quantize matching kernels in a param pytree (path-regex match).
 
     bits=8: per-channel symmetric int8; bits=4: nibble-packed grouped int4.
     act_quant=True stores int8-MXU W8A8 kernels ({"kernel_w8a8", "scale"},
     consumed with dynamic per-token activation quant) instead of the
-    weight-only form — use for MXU-bound encoders (pass VIT_PATTERNS)."""
+    weight-only form — use for MXU-bound encoders (pass VIT_PATTERNS).
+    layer_chunked=True runs the quantization one leading-axis slice at a
+    time (lax.map over the stacked layer dim) so the fp32 temporaries of
+    a multi-GB model fit next to it in HBM."""
     regexes = [re.compile(p) for p in patterns]
+
+    def chunked(fn, v):
+        if layer_chunked and v.ndim >= 3:
+            return jax.lax.map(fn, v)
+        return fn(v)
 
     def walk(tree, path=""):
         if isinstance(tree, dict):
@@ -158,13 +166,15 @@ def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                 if (k == "kernel" and isinstance(v, jax.Array)
                         and any(r.search(sub) for r in regexes)):
                     if bits == 4:
-                        out.update(quantize_kernel_int4(v, group_size))
+                        out.update(chunked(
+                            lambda w: quantize_kernel_int4(w, group_size),
+                            v))
                     elif act_quant:
-                        q = quantize_kernel(v)
+                        q = chunked(quantize_kernel, v)
                         out.update({"kernel_w8a8": q["kernel_q8"],
                                     "scale": q["scale"]})
                     else:
-                        out.update(quantize_kernel(v))
+                        out.update(chunked(quantize_kernel, v))
                 else:
                     out[k] = walk(v, sub)
             return out

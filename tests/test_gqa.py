@@ -164,3 +164,51 @@ def test_fused_projections_match_unfused():
     t_ref = np.asarray(llama_generate(params, cfg, embeds, mask, gcfg))
     t_fused = np.asarray(llama_generate(fused, cfg, embeds, mask, gcfg))
     np.testing.assert_array_equal(t_fused, t_ref)
+
+
+def test_int8_kv_cache_decode():
+    """int8 KV cache: prefill+decode tracks the bf16-cache path closely
+    and the engine generates end-to-end with kv_cache_quant=True."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=3, num_attention_heads=4,
+                      vocab_size=128, extended_vocab_size=128)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[5, 9, 3, 17, 2], [1, 1, 4, 6, 8]], jnp.int32)
+    mask = jnp.array([[0, 1, 1, 1, 1], [1, 1, 1, 1, 1]], jnp.int32)
+    embeds = llama.embed(params, ids)
+    total = 9
+
+    def run(quant):
+        cache = llama.init_cache(cfg, 2, total, dtype=jnp.float32,
+                                 quant=quant)
+        hidden, cache = llama.prefill(params, cfg, embeds, mask, cache)
+        outs = [hidden[:, -1]]
+        slot_mask = jnp.zeros((2, total), bool).at[:, :5].set(
+            mask.astype(bool))
+        positions = jnp.sum(mask, axis=-1)
+        x = hidden[:, -1:]
+        for t in range(3):
+            slot_mask = slot_mask.at[:, 5 + t].set(True)
+            h, cache = llama.decode_step(params, cfg, cache, x, 5 + t,
+                                         slot_mask, positions + t)
+            outs.append(h[:, 0])
+            x = h
+        return np.stack([np.asarray(o) for o in outs])
+
+    ref = run(False)
+    out = run(True)
+    # int8 K/V with per-(token, head) scales: ~1e-2 relative error
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, rel
+
+    gcfg = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                            pad_token_id=0, kv_cache_quant=True)
+    toks = np.asarray(llama_generate(params, cfg, embeds, mask, gcfg))
+    assert toks.shape == (2, 6)
