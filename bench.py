@@ -77,7 +77,7 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
     qkv/gate_up projections (op launch count is a first-order decode
     cost on this backend). quant: "bf16" | "int8" (weight-only, XLA
     dequant-fused matmuls) | "int4" (nibble-packed, pallas W4A8 kernel).
-    v5e-1: 162 / 247 / 200 tok/s."""
+    v5e-1: 180 / 298 / 252 tok/s (carry-threaded cache; 2k-context 89)."""
     from emu_tpu.config import LlamaConfig
     from emu_tpu.generation import GenerationConfig, llama_generate
     from emu_tpu.models import llama

@@ -263,15 +263,24 @@ def kv_quantize(x: jax.Array):
     return q, s
 
 
-def _cache_read(c: dict, key: str, dtype) -> jax.Array:
+def _cache_read(c: dict, key: str, layer, dtype) -> jax.Array:
+    """Layer `layer`'s K or V plane, dequantized. The dynamic slice and
+    the int8 dequant both fuse into the attention einsum's operand load."""
+    sl = jax.lax.dynamic_index_in_dim(c[key], layer, 0, keepdims=False)
     if key + "_scale" in c:
-        return (c[key].astype(dtype)
-                * c[key + "_scale"].astype(dtype)[..., None])
-    return c[key].astype(dtype)
+        ssl = jax.lax.dynamic_index_in_dim(c[key + "_scale"], layer, 0,
+                                           keepdims=False)
+        return sl.astype(dtype) * ssl.astype(dtype)[..., None]
+    return sl.astype(dtype)
 
 
-def _cache_write(c: dict, key: str, new: jax.Array, idx) -> dict:
-    """Update `key` (and its scale plane) in per-layer cache slices.
+def _cache_write(c: dict, key: str, new: jax.Array, layer, idx) -> dict:
+    """Update layer `layer` of `key` (and its scale plane) IN the full
+    stacked cache. The cache lives in the layer scan's CARRY, so these
+    dynamic updates execute in place in the while-loop state — routing
+    it through scan xs/ys instead copies the whole cache per layer per
+    step (the dominant cost of long-context decode).
+
     idx: 4-tuple start for dynamic_update_slice, or a (bidx, slots) pair
     for per-row scatter (continuous batching)."""
     out = {}
@@ -280,16 +289,17 @@ def _cache_write(c: dict, key: str, new: jax.Array, idx) -> dict:
     else:
         vals, scale = new.astype(c[key].dtype), None
     if isinstance(idx, tuple) and len(idx) == 4:
-        out[key] = jax.lax.dynamic_update_slice(c[key], vals, idx)
+        out[key] = jax.lax.dynamic_update_slice(c[key], vals[None],
+                                                (layer,) + idx)
         if scale is not None:
             out[key + "_scale"] = jax.lax.dynamic_update_slice(
-                c[key + "_scale"], scale, idx[:3])
+                c[key + "_scale"], scale[None], (layer,) + idx[:3])
     else:
         bidx, slots = idx
-        out[key] = c[key].at[bidx, slots].set(vals[:, 0])
+        out[key] = c[key].at[layer, bidx, slots].set(vals[:, 0])
         if scale is not None:
-            out[key + "_scale"] = c[key + "_scale"].at[bidx, slots].set(
-                scale[:, 0])
+            out[key + "_scale"] = c[key + "_scale"].at[layer, bidx,
+                                                       slots].set(scale[:, 0])
     return out
 
 
@@ -306,23 +316,25 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     tables = rope_tables(cfg, max_len)
     positions = _positions_from_mask(attention_mask)
 
-    def body(x, xs):
-        p, c = xs
+    def body(carry, xs):
+        x, c = carry
+        p, i = xs
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, (0, 0, 0, 0)))
-            c_out.update(_cache_write(c, "v", v_new, (0, 0, 0, 0)))
+            c_out.update(_cache_write(c, "k", k_new, i, (0, 0, 0, 0)))
+            c_out.update(_cache_write(c, "v", v_new, i, (0, 0, 0, 0)))
             return k_new, v_new, c_out
 
-        x, cache_out = _layer(p, cfg, x, tables, positions, write,
-                              attention_mask, True)
-        return x, cache_out
+        x, c = _layer(p, cfg, x, tables, positions, write,
+                      attention_mask, True)
+        return (x, c), None
 
-    x, cache_out = jax.lax.scan(body, inputs_embeds,
-                                (params["layers"], cache))
+    nl = cfg.num_hidden_layers
+    (x, cache), _ = jax.lax.scan(body, (inputs_embeds, cache),
+                                 (params["layers"], jnp.arange(nl)))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, cache_out
+    return hidden, cache
 
 
 def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
@@ -341,24 +353,25 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     tables = rope_tables(cfg, max_len)
     pos = positions[:, None]                       # [B, 1]
 
-    def body(x, xs):
-        p, c = xs
+    def body(carry, xs):
+        x, c = carry
+        p, i = xs
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, (0, slot, 0, 0)))
-            c_out.update(_cache_write(c, "v", v_new, (0, slot, 0, 0)))
-            return (_cache_read(c_out, "k", x.dtype),
-                    _cache_read(c_out, "v", x.dtype), c_out)
+            c_out.update(_cache_write(c, "k", k_new, i, (0, slot, 0, 0)))
+            c_out.update(_cache_write(c, "v", v_new, i, (0, slot, 0, 0)))
+            return (_cache_read(c_out, "k", i, x.dtype),
+                    _cache_read(c_out, "v", i, x.dtype), c_out)
 
-        x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
-                              False)
-        return x, cache_out
+        x, c = _layer(p, cfg, x, tables, pos, write, slot_mask, False)
+        return (x, c), None
 
-    x, cache_out = jax.lax.scan(body, token_embeds,
-                                (params["layers"], cache))
+    (x, cache), _ = jax.lax.scan(
+        body, (token_embeds, cache),
+        (params["layers"], jnp.arange(cfg.num_hidden_layers)))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, cache_out
+    return hidden, cache
 
 
 def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
@@ -382,24 +395,26 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
     mask = (j < valid_len[:, None, None, None]) | (
         (j >= slot) & (j <= slot + i))                    # [B,1,q,Skv]
 
-    def body(x, xs):
-        p, c = xs
+    def body(carry, xs):
+        x, c = carry
+        p, i = xs
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, (0, slot, 0, 0)))
-            c_out.update(_cache_write(c, "v", v_new, (0, slot, 0, 0)))
-            return (_cache_read(c_out, "k", x.dtype),
-                    _cache_read(c_out, "v", x.dtype), c_out)
+            c_out.update(_cache_write(c, "k", k_new, i, (0, slot, 0, 0)))
+            c_out.update(_cache_write(c, "v", v_new, i, (0, slot, 0, 0)))
+            return (_cache_read(c_out, "k", i, x.dtype),
+                    _cache_read(c_out, "v", i, x.dtype), c_out)
 
-        x, cache_out = _layer(p, cfg, x, tables, positions, write, None,
-                              False, mask)
-        return x, cache_out
+        x, c = _layer(p, cfg, x, tables, positions, write, None,
+                      False, mask)
+        return (x, c), None
 
-    x, cache_out = jax.lax.scan(body, token_embeds,
-                                (params["layers"], cache))
+    (x, cache), _ = jax.lax.scan(
+        body, (token_embeds, cache),
+        (params["layers"], jnp.arange(cfg.num_hidden_layers)))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, cache_out
+    return hidden, cache
 
 
 def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
@@ -418,24 +433,25 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
     pos = positions[:, None]                       # [B, 1]
     bidx = jnp.arange(b)
 
-    def body(x, xs):
-        p, c = xs
+    def body(carry, xs):
+        x, c = carry
+        p, i = xs
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, (bidx, slots)))
-            c_out.update(_cache_write(c, "v", v_new, (bidx, slots)))
-            return (_cache_read(c_out, "k", x.dtype),
-                    _cache_read(c_out, "v", x.dtype), c_out)
+            c_out.update(_cache_write(c, "k", k_new, i, (bidx, slots)))
+            c_out.update(_cache_write(c, "v", v_new, i, (bidx, slots)))
+            return (_cache_read(c_out, "k", i, x.dtype),
+                    _cache_read(c_out, "v", i, x.dtype), c_out)
 
-        x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
-                              False)
-        return x, cache_out
+        x, c = _layer(p, cfg, x, tables, pos, write, slot_mask, False)
+        return (x, c), None
 
-    x, cache_out = jax.lax.scan(body, token_embeds,
-                                (params["layers"], cache))
+    (x, cache), _ = jax.lax.scan(
+        body, (token_embeds, cache),
+        (params["layers"], jnp.arange(cfg.num_hidden_layers)))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, cache_out
+    return hidden, cache
 
 
 def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:
