@@ -265,6 +265,10 @@ def main():
             ("EVA-4B ViT encode W8A8 int8",
              functools.partial(bench_vit_4b_encode, int8=True),
              "img/s/chip"),
+            ("Emu1 caption e2e bf16", bench_emu1_caption, "captions/s/chip"),
+            ("Emu1 caption e2e int8",
+             functools.partial(bench_emu1_caption, int8=True),
+             "captions/s/chip"),
             ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
             ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s")):
         try:
@@ -275,3 +279,50 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False):
+    """End-to-end Emu1 captioning (the north-star workload): image →
+    ViT-g encode → CausalFormer → multimodal prompt prefill → greedy
+    decode of 20 tokens (COCO eval default). Decoder at true 13B layer
+    dims, reduced depth; reported captions/sec/chip with decoder time
+    scaled to full 40-layer depth (encoder time is real)."""
+    from emu_tpu.config import Emu1Config, LlamaConfig
+    from emu_tpu.generation import GenerationConfig
+    from emu_tpu.models import emu1, llama
+    cfg = Emu1Config(llama=LlamaConfig(
+        hidden_size=5120, intermediate_size=13824,
+        num_hidden_layers=layers, num_attention_heads=40,
+        vocab_size=32000, extended_vocab_size=32004))
+    params = emu1.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if int8:
+        # W8A8 for the MXU-bound encoder, weight-only for the HBM-bound
+        # decoder (the second pass skips already-quantized leaves)
+        from emu_tpu.ops.quant import quantize_tree, VIT_PATTERNS
+        params = jax.jit(lambda p: quantize_tree(
+            quantize_tree(p, VIT_PATTERNS, act_quant=True,
+                          layer_chunked=True), layer_chunked=True),
+            donate_argnums=0)(params)
+    params = dict(params,
+                  decoder=llama.fuse_projections(params["decoder"]))
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, 224, 224, 3), jnp.bfloat16)
+    img_tok = 32003
+    # "USER: [IMG] <image>*32 [/IMG] describe ... ASSISTANT:"-shaped prompt
+    prompt = ([7] * 6 + [32001] + [img_tok] * cfg.n_causal + [32002]
+              + [7] * 10)
+    ids = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (batch, 1))
+    mask = jnp.ones_like(ids)
+    gcfg = GenerationConfig(max_new_tokens=new, min_length=new,
+                            eos_token_id=-1, pad_token_id=32000)
+
+    @jax.jit
+    def e2e(p, im):
+        embeds = emu1.encode_image(p, cfg, im).reshape(-1, 5120)
+        return emu1.generate(p, cfg, ids, mask, embeds, gcfg, img_tok)
+
+    dt = _time_call(e2e, params, images)
+    enc = jax.jit(lambda p, im: emu1.encode_image(p, cfg, im))
+    dt_enc = _time_call(enc, params, images)
+    dt_full = dt_enc + (dt - dt_enc) * 40.0 / layers
+    return batch / dt_full

@@ -29,7 +29,14 @@ from emu_tpu.pipelines import preprocess
 class EmuChatGeneration:
     def __init__(self, params: dict, cfg: Emu2Config,
                  tokenizer: Optional[T.EmuTokenizer] = None,
-                 mesh=None):
+                 mesh=None, fuse: bool = True):
+        """fuse=True (default) rewrites the decoder to the fused
+        qkv_proj/gate_up layout (llama.fuse_projections) — numerically
+        exact, one projection launch instead of three per decode step."""
+        if fuse and "q_proj" in params["decoder"]["layers"]["self_attn"]:
+            from emu_tpu.models import llama
+            params = dict(params,
+                          decoder=llama.fuse_projections(params["decoder"]))
         self.cfg = cfg
         self.tokenizer = tokenizer or T.EmuTokenizer.emu2(
             instruct=cfg.instruct)
