@@ -18,6 +18,7 @@ Secondary benches (stderr): LLaMA 13B-equivalent KV-cache decode
 tokens/sec/chip, SD1.5-class UNet CFG denoise steps/sec.
 """
 
+import functools
 import json
 import sys
 import time
@@ -266,6 +267,8 @@ def main():
              functools.partial(bench_vit_4b_encode, int8=True),
              "img/s/chip"),
             ("Emu1 caption e2e bf16", bench_emu1_caption, "captions/s/chip"),
+            ("llama-13B-equiv train step", bench_llama_train,
+             "tok/s/chip"),
             ("Emu1 caption e2e int8",
              functools.partial(bench_emu1_caption, int8=True),
              "captions/s/chip"),
@@ -326,3 +329,53 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False):
     dt_enc = _time_call(enc, params, images)
     dt_full = dt_enc + (dt - dt_enc) * 40.0 / layers
     return batch / dt_full
+
+
+def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
+    """Training-step throughput: masked-CE LM objective at true 13B layer
+    dims (reduced depth), per-layer remat, adafactor (the memory-lean
+    TPU-classic optimizer — adamw moments at these dims would not leave
+    room for activations on one chip). Reported as full-40-layer-equiv
+    tokens/sec/chip. Uses the XLA attention path (the flash kernel has
+    no autodiff rule yet; custom-VJP flash is a backlog item)."""
+    import os
+    import optax
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.models import llama
+    os.environ["EMU_TPU_FLASH"] = "0"
+    cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                      num_hidden_layers=layers, num_attention_heads=40,
+                      vocab_size=32000, extended_vocab_size=32004,
+                      max_position_embeddings=seq)
+    params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    tx = optax.adafactor(1e-3)
+    opt_state = tx.init(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 32000)
+    mask = jnp.ones_like(ids)
+
+    def loss_fn(p, ids, mask):
+        embeds = llama.embed(p, ids)
+        hidden = llama.forward_hidden(p, cfg, embeds, mask, remat=True)
+        logits = llama.logits(p, hidden[:, :-1])
+        tgt = ids[:, 1:]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    @jax.jit
+    def steps(p, s, ids, mask):
+        def body(i, carry):
+            p, s, _ = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, ids, mask)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return p, s, loss
+        _, _, loss = jax.lax.fori_loop(0, k, body,
+                                       (p, s, jnp.float32(0)))
+        return loss
+
+    try:
+        dt = _time_call(lambda: steps(params, opt_state, ids, mask))
+    finally:
+        os.environ.pop("EMU_TPU_FLASH", None)
+    return batch * seq * k / dt * layers / 40.0
