@@ -355,7 +355,7 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
 
     def loss_fn(p, ids, mask):
         embeds = llama.embed(p, ids)
-        hidden = llama.forward_hidden(p, cfg, embeds, mask, remat=True)
+        hidden = llama.forward_hidden(p, cfg, embeds, mask, remat="dots")
         logits = llama.logits(p, hidden[:, :-1])
         tgt = ids[:, 1:]
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
