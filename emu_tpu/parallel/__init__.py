@@ -10,3 +10,7 @@ from emu_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention,
     ring_attention_sharded,
 )
+from emu_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_forward,
+    pipeline_llama_hidden,
+)

@@ -80,3 +80,44 @@ def test_emu1_composite_sharding_rules_cover_params():
     allowed = {"cformer/projection/kernel", "visual/pos_embed",
                "decoder/stu_regress_head/kernel"}
     assert set(unmatched_big) <= allowed, unmatched_big
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe pipeline over a 'pipe' mesh axis ≡ sequential layer scan,
+    both for a toy stage and the real llama forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.models import llama
+    from emu_tpu.parallel import (make_mesh, pipeline_forward,
+                                  pipeline_llama_hidden)
+
+    mesh = make_mesh((4,), axis_names=("pipe",),
+                     devices=jax.devices()[:4])
+    W = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16)) * 0.3
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 16))
+
+    def stage(w_slab, h):
+        def body(h, w):
+            return jnp.tanh(h @ w), None
+        return jax.lax.scan(body, h, w_slab)[0]
+
+    out = pipeline_forward(stage, W, x, mesh)
+    ref = x
+    for i in range(8):
+        ref = jnp.tanh(ref @ W[i])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=4, num_attention_heads=4,
+                      vocab_size=128, extended_vocab_size=128)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (8, 1)) % 120
+    mask = jnp.ones_like(ids)
+    embeds = llama.embed(params, ids)
+    ref = llama.forward_hidden(params, cfg, embeds, mask)
+    out = pipeline_llama_hidden(params, cfg, embeds, mask, mesh, n_micro=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
