@@ -280,8 +280,7 @@ def main():
             print(f"secondary {name} failed: {e}", file=sys.stderr)
 
 
-if __name__ == "__main__":
-    main()
+
 
 
 def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False):
@@ -379,3 +378,7 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
     finally:
         os.environ.pop("EMU_TPU_FLASH", None)
     return batch * seq * k / dt * layers / 40.0
+
+
+if __name__ == "__main__":
+    main()
