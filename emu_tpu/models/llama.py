@@ -158,10 +158,9 @@ def _attn(p, cfg: LlamaConfig, q, kv, kv_valid, causal, mask=None):
     dense [B, 1, S, Skv] (chunked verify: per-query causality in a cache)."""
     b, s, h, hd = q.shape
     k_full, v_full = kv
-    if cfg.kv_heads != h:            # GQA: broadcast kv groups to q heads
-        rep = h // cfg.kv_heads
-        k_full = jnp.repeat(k_full, rep, axis=2)
-        v_full = jnp.repeat(v_full, rep, axis=2)
+    # GQA (kv_heads < h) stays grouped — dot_product_attention contracts
+    # query-head groups against the narrow K/V directly, so the cache
+    # read keeps its 1/rep size advantage
     o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
                               causal=causal, mask=mask, scale=hd ** -0.5)
     return L.dense(p["o_proj"], o.reshape(b, s, h * hd))

@@ -52,6 +52,37 @@ def _xla_attention(q, k, v, bias, mask, kv_valid, scale, causal):
     return out.astype(q.dtype)
 
 
+def _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale, causal):
+    """Grouped-query attention without materializing repeated K/V: query
+    heads reshape to [.., Hkv, rep, D] and contract against the Hkv key
+    heads directly — the kv read stays 1/rep the MHA size (the whole
+    point of GQA's smaller cache)."""
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    rep = h // hkv
+    q5 = q.reshape(b, sq, hkv, rep, d)
+    logits = jnp.einsum("bqgrd,bkgd->bgrqk", q5, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    if bias is not None:
+        logits = logits + bias.reshape(b, hkv, rep, sq, skv).astype(
+            jnp.float32)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        causal_mask = (ki <= qi + (skv - sq))[None, None, None]
+        logits = jnp.where(causal_mask, logits, _NEG_INF)
+    if kv_valid is not None:
+        logits = jnp.where(kv_valid[:, None, None, None, :].astype(bool),
+                           logits, _NEG_INF)
+    if mask is not None:
+        logits = jnp.where(mask[:, :, None], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, h, d).astype(q.dtype)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -64,9 +95,15 @@ def dot_product_attention(
     causal: bool = False,
     backend: Optional[str] = None,
 ) -> jax.Array:
-    """Scaled dot-product attention with fp32 softmax."""
+    """Scaled dot-product attention with fp32 softmax.
+
+    k/v may carry fewer heads than q (GQA): handled grouped, without
+    materializing repeated K/V."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if k.shape[2] != q.shape[2]:
+        return _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale,
+                                  causal)
     if backend is None:
         backend = _auto_backend(q, k, bias, mask, kv_valid, causal)
     if backend == "flash":
