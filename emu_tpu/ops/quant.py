@@ -3,7 +3,9 @@
 The TPU replacement for the reference demo's 4-bit bitsandbytes serving
 mode (ref Emu2/demo/backend/hf_model/emu/chat.py:59-67): per-output-channel
 symmetric int8 kernels with bf16 scales. Essential for Emu2-33B on v5e
-(16 GB/chip): bf16 66 GB → int8 33 GB, TP-sharded 8-way ≈ 4.2 GB/chip.
+(16 GB/chip): bf16 66 GB → int8 33 GB (TP-sharded 8-way ≈ 4.2 GB/chip)
+→ int4 16.5 GB — with the int8 KV cache that is a two-chip 33B serving
+footprint, and the full 37B stack fits a v5e-4 with room for batch.
 
 Two consumption modes, distinguished by the param key:
 - {"kernel_q8", "scale"} — weight-only: `layers.dense` dequantizes into
