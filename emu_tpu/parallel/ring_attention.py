@@ -71,14 +71,14 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     perm = [(i, (i + 1) % n) for i in range(n)]  # shard from idx-1 next step
 
     if kv_valid is None:
-        kv_valid = jax.lax.pvary(jnp.ones((b, s_local), jnp.int32),
-                                 axis_name)
+        kv_valid = jax.lax.pcast(jnp.ones((b, s_local), jnp.int32),
+                                 axis_name, to='varying')
     kv_valid = kv_valid.astype(jnp.int32)
 
     # Freshly-created carries are device-invariant to the vma type system;
     # mark them varying over the ring axis so the loop carry typechecks.
     acc0, m0, l0 = (
-        jax.lax.pvary(x, axis_name) for x in (
+        jax.lax.pcast(x, axis_name, to='varying') for x in (
             jnp.zeros((b, s_local, h, d), jnp.float32),
             jnp.full((b, h, s_local, 1), _NEG, jnp.float32),
             jnp.zeros((b, h, s_local, 1), jnp.float32)))
