@@ -72,7 +72,7 @@ def bench_vit_encode(batch=32, k=25, int8: bool = False):
 
 
 def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
-                       quant: str = "bf16"):
+                       quant: str = "bf16", kv_heads=None):
     """True 13B layer dims, reduced depth to fit one chip; reported as
     full-40-layer-equivalent tokens/sec/chip. All modes run with fused
     qkv/gate_up projections (op launch count is a first-order decode
@@ -84,6 +84,7 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
     from emu_tpu.models import llama
     cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
                       num_hidden_layers=layers, num_attention_heads=40,
+                      num_key_value_heads=kv_heads or 40,
                       vocab_size=32000, extended_vocab_size=32004)
     params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if quant != "bf16":
@@ -259,6 +260,10 @@ def main():
              "tok/s/chip"),
             ("llama-13B-equiv decode int4",
              functools.partial(bench_llama_decode, quant="int4"),
+             "tok/s/chip"),
+            ("llama-13B-equiv decode int8 GQA-8kv",
+             functools.partial(bench_llama_decode, quant="int8",
+                               kv_heads=8),
              "tok/s/chip"),
             ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
              "tok/s/chip"),
