@@ -191,3 +191,15 @@ def test_decode_attention_matches_xla():
     out = np.asarray(decode_attention(q, k, v, valid, scale=scale,
                                       interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # long cache: multiple chunks through the running softmax
+    s2 = 512
+    k2 = jax.random.normal(jax.random.PRNGKey(50), (b, s2, h, d))
+    v2 = jax.random.normal(jax.random.PRNGKey(51), (b, s2, h, d))
+    lens2 = jnp.array([s2, 300, 17])
+    valid2 = (jnp.arange(s2)[None, :] < lens2[:, None]).astype(jnp.int32)
+    ref2 = np.asarray(_xla_attention(q, k2, v2, None, None, valid2, scale,
+                                     False))
+    out2 = np.asarray(decode_attention(q, k2, v2, valid2, scale=scale,
+                                       interpret=True))
+    np.testing.assert_allclose(out2, ref2, rtol=2e-5, atol=2e-5)
