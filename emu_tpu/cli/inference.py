@@ -36,6 +36,11 @@ video_system_msg = (
 
 class Emu1Runner:
     def __init__(self, params, cfg: Emu1Config, tokenizer: T.EmuTokenizer):
+        if "q_proj" in params["decoder"]["layers"]["self_attn"]:
+            from emu_tpu.models import llama
+            # fused qkv/gate_up decode layout — exact, fewer launches
+            params = dict(params,
+                          decoder=llama.fuse_projections(params["decoder"]))
         self.params, self.cfg, self.tokenizer = params, cfg, tokenizer
         self.placeholder = ("[IMG]" + "<image>" * cfg.n_causal + "[/IMG]")
 

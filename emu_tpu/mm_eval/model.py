@@ -24,6 +24,11 @@ from emu_tpu.pipelines import preprocess
 class EmuEvalModel:
     def __init__(self, params: dict, cfg: Emu1Config,
                  tokenizer: Optional[T.EmuTokenizer] = None):
+        if "q_proj" in params["decoder"]["layers"]["self_attn"]:
+            from emu_tpu.models import llama
+            # fused qkv/gate_up decode layout — exact, fewer launches
+            params = dict(params,
+                          decoder=llama.fuse_projections(params["decoder"]))
         self.params, self.cfg = params, cfg
         self.tokenizer = tokenizer or T.EmuTokenizer.emu1(
             instruct=cfg.instruct)
