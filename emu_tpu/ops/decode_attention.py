@@ -103,10 +103,6 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, mask, eye, eye.T)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
 def _chunk(s: int, hd: int) -> int:
     """Largest sublane-aligned cache chunk that tiles S exactly and keeps
     the double-buffered k/v tiles plus fp32 working values within the
