@@ -301,7 +301,8 @@ def _contrastive_search(params, cfg, inputs_embeds, attention_mask,
     t_max = gcfg.max_new_tokens
     total = s + t_max
 
-    cache = llama.init_cache(cfg, b, total, dtype=inputs_embeds.dtype)
+    cache = llama.init_cache(cfg, b, total, dtype=inputs_embeds.dtype,
+                             quant=gcfg.kv_cache_quant)
     hidden, cache = llama.prefill(params, cfg, inputs_embeds,
                                   attention_mask, cache)
     logits0 = llama.logits(params, hidden[:, -1])

@@ -107,6 +107,15 @@ def fuse_projections(params: dict) -> dict:
     def cat(parts):
         for keys in keysets:
             if keys[0] in parts[0]:
+                # bias (e.g. Qwen-style attention bias under GQA) also
+                # concatenates on the output axis; any OTHER extra entry is
+                # unknown and silently dropping it would corrupt outputs.
+                if "bias" in parts[0]:
+                    keys = keys + ("bias",)
+                extra = set(parts[0]) - set(keys)
+                if extra:
+                    raise ValueError(
+                        f"fuse_projections: unfusable extra entries {extra}")
                 return {k: jnp.concatenate([p[k] for p in parts], axis=-1)
                         for k in keys}
         raise ValueError(f"unrecognized dense params: {list(parts[0])}")

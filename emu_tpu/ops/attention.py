@@ -76,7 +76,13 @@ def _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale, causal):
         logits = jnp.where(kv_valid[:, None, None, None, :].astype(bool),
                            logits, _NEG_INF)
     if mask is not None:
-        logits = jnp.where(mask[:, :, None], logits, _NEG_INF)
+        # dense masks may be [B,1,Sq,Skv] (broadcast over all heads) or
+        # per-head [B,H,Sq,Skv] (reshaped onto the [B,Hkv,rep,..] grid)
+        if mask.shape[1] == 1:
+            m5 = mask[:, :, None]
+        else:
+            m5 = mask.reshape(b, hkv, rep, sq, skv)
+        logits = jnp.where(m5, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)

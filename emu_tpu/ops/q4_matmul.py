@@ -312,8 +312,15 @@ def fused_swiglu_q4(x: jax.Array, rms_scale: jax.Array,
     obm = 8 if m <= 8 else bm
     xf = jnp.pad(xf, ((0, bm - m), (0, 0)))
 
-    while (f // 2) % bf or bf % gs_f:
+    # bf must divide f//2 and be a multiple of gs_f; snap the requested bf
+    # down to the group-size grid first, then shrink until it divides —
+    # naive `bf -= gs_f` from a misaligned start never terminates.
+    bf = gs_f * max(1, bf // gs_f)
+    while (f // 2) % bf:
         bf -= gs_f
+        assert bf >= gs_f, (
+            f"no F-block: f//2={f // 2} not tileable by multiples of "
+            f"gs_f={gs_f}")
     nf = (f // 2) // bf
     ngj = bf // gs_f
 

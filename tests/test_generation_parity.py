@@ -146,6 +146,18 @@ def test_contrastive_search_behavior(models):
     # with a real penalty the trajectory should diverge from pure greedy
     assert not np.array_equal(contrastive, greedy)
 
+    # kv_cache_quant must reach this path too (regression: it was
+    # silently ignored, defeating the advertised 2x-context saving)
+    quantized = _ours(params, ids, mask,
+                      GenerationConfig(max_new_tokens=8,
+                                       penalty_alpha=0.6, top_k=4,
+                                       min_length=0, eos_token_id=EOS,
+                                       pad_token_id=PAD,
+                                       kv_cache_quant=True))
+    assert quantized.shape == contrastive.shape
+    # int8 KV error is tiny on this model; trajectories should agree
+    np.testing.assert_array_equal(quantized, contrastive)
+
 
 def test_logits_warpers_match_hf():
     """top-k / top-p / repetition-penalty filters vs HF warpers on fixed

@@ -166,6 +166,77 @@ def test_fused_projections_match_unfused():
     np.testing.assert_array_equal(t_fused, t_ref)
 
 
+def test_fuse_projections_carries_bias():
+    """Qwen-style projection biases concatenate through fuse_projections
+    (regression: entries beyond kernel/scale were silently dropped)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.models import llama
+
+    cfg = LlamaConfig(hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=64,
+                      extended_vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    sa = params["layers"]["self_attn"]
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), 3))
+    for name in ("q_proj", "k_proj", "v_proj"):
+        out = sa[name]["kernel"].shape[-1]
+        sa[name] = dict(sa[name], bias=0.1 * jax.random.normal(
+            next(keys), (cfg.num_hidden_layers, out)))
+
+    ids = jnp.array([[5, 9, 3, 17, 2]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    embeds = llama.embed(params, ids)
+    ref = np.asarray(llama.forward_hidden(params, cfg, embeds, mask))
+    fused = llama.fuse_projections(params)
+    assert "bias" in fused["layers"]["self_attn"]["qkv_proj"]
+    out = np.asarray(llama.forward_hidden(fused, cfg, embeds, mask))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # unknown extra entries must raise, not silently drop
+    sa2 = dict(params["layers"]["self_attn"])
+    sa2["q_proj"] = dict(sa2["q_proj"], lora_a=jnp.zeros((2, 4)))
+    bad = dict(params, layers=dict(params["layers"], self_attn=sa2))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unfusable"):
+        llama.fuse_projections(bad)
+
+
+def test_gqa_per_head_dense_mask():
+    """dot_product_attention accepts per-head [B,H,Sq,Skv] dense masks on
+    the grouped path (regression: broadcast only fit [B,1,Sq,Skv])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.attention import dot_product_attention
+
+    ks = iter(jax.random.split(jax.random.PRNGKey(3), 4))
+    b, sq, skv, h, hkv, d = 2, 4, 6, 8, 2, 16
+    q = jax.random.normal(next(ks), (b, sq, h, d))
+    k = jax.random.normal(next(ks), (b, skv, hkv, d))
+    v = jax.random.normal(next(ks), (b, skv, hkv, d))
+    mask = jax.random.bernoulli(next(ks), 0.7, (b, h, sq, skv))
+    mask = mask.at[..., 0].set(True)          # no fully-masked rows
+
+    out = dot_product_attention(q, k, v, mask=mask)
+    # oracle: repeat K/V to full heads, use the MHA path
+    rep = h // hkv
+    kf = jnp.repeat(k, rep, axis=2)
+    vf = jnp.repeat(v, rep, axis=2)
+    ref = dot_product_attention(q, kf, vf, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # broadcast [B,1,Sq,Skv] masks still work
+    m1 = mask[:, :1]
+    out1 = dot_product_attention(q, k, v, mask=m1)
+    ref1 = dot_product_attention(q, kf, vf, mask=m1)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_int8_kv_cache_decode():
     """int8 KV cache: prefill+decode tracks the bf16-cache path closely
     and the engine generates end-to-end with kv_cache_quant=True."""
