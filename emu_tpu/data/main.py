@@ -12,7 +12,8 @@ from emu_tpu.data import stats as S
 from emu_tpu.data.distributor import (multiprocessing_distributor,
                                       pyspark_distributor)
 from emu_tpu.data.input_sharder import InputSharder, OutputSharder
-from emu_tpu.data.subsamplers import (ClippingSubsampler,
+from emu_tpu.data.subsamplers import (AudioRateSubsampler,
+                                      ClippingSubsampler,
                                       CutDetectionSubsampler,
                                       FrameSubsampler, NoOpSubsampler,
                                       ResolutionSubsampler)
@@ -37,6 +38,7 @@ def video2dataset(
     video_size: int = 360,
     resize_mode: Optional[str] = None,
     frame_rate: Optional[int] = None,
+    audio_rate: Optional[int] = None,
     detect_cuts: bool = False,
     encode_formats: Optional[dict] = None,
     stage: str = "download",
@@ -59,6 +61,8 @@ def video2dataset(
         subsamplers.append(ResolutionSubsampler(video_size, resize_mode))
     if frame_rate:
         subsamplers.append(FrameSubsampler(frame_rate))
+    if audio_rate:
+        subsamplers.append(AudioRateSubsampler(audio_rate, encode_formats))
     if detect_cuts:
         subsamplers.append(CutDetectionSubsampler())
     if not subsamplers:
@@ -113,7 +117,7 @@ def video2dataset(
 
 
 _INT_ARGS = {"number_sample_per_shard", "processes_count", "thread_count",
-             "max_shard_retry", "video_size", "frame_rate"}
+             "max_shard_retry", "video_size", "frame_rate", "audio_rate"}
 _JSON_ARGS = {"save_additional_columns", "encode_formats"}
 
 

@@ -96,6 +96,64 @@ class FrameSubsampler:
             return streams, meta, str(e)
 
 
+class AudioRateSubsampler:
+    """Resample audio streams to a target rate (ref
+    audio_rate_subsampler.py:11). The reference shells out to
+    `ffmpeg -ar {rate}`; no ffmpeg in this image, so WAV (PCM16) streams
+    are parsed with the stdlib `wave` module and resampled with a numpy
+    polyphase-free linear interpolator — same contract: streams in,
+    streams at `sample_rate` out, (streams, meta, err) result. Non-WAV
+    codecs (flac/mp3) need a codec library and report an error string
+    instead of silently passing through."""
+
+    def __init__(self, sample_rate: int = 16000,
+                 encode_formats: Optional[Dict] = None):
+        self.sample_rate = sample_rate
+        self.ext = (encode_formats or {}).get("audio", "wav")
+
+    def _resample_wav(self, data: bytes) -> bytes:
+        import wave
+
+        import numpy as np
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        if width != 2:
+            raise ValueError(f"only PCM16 WAV supported, got width={width}")
+        x = np.frombuffer(raw, np.int16).reshape(-1, n_ch).astype(np.float32)
+        if rate != self.sample_rate:
+            n_out = int(round(x.shape[0] * self.sample_rate / rate))
+            t_out = np.arange(n_out) * (rate / self.sample_rate)
+            idx = np.arange(x.shape[0])
+            x = np.stack([np.interp(t_out, idx, x[:, c])
+                          for c in range(n_ch)], axis=1)
+        out = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(self.sample_rate)
+            w.writeframes(out.tobytes())
+        return buf.getvalue()
+
+    def __call__(self, streams, meta):
+        try:
+            out = dict(streams)
+            for ext in ("wav", "flac", "mp3", "m4a"):
+                if ext not in streams:
+                    continue
+                if ext != "wav":
+                    return streams, meta, (
+                        f"audio codec .{ext} unsupported without ffmpeg")
+                out["wav"] = self._resample_wav(streams["wav"])
+                meta["audio_rate"] = self.sample_rate
+            return out, meta, None
+        except Exception as e:  # noqa: BLE001
+            return streams, meta, str(e)
+
+
 class ClippingSubsampler:
     """Annotate clip spans (ref clipping_subsampler.py:23).
 

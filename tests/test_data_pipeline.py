@@ -92,6 +92,42 @@ def test_dataloader_filters_and_collation(tmp_path, image_urls):
     assert batches[0]["webp"].shape == (2, 16, 16, 3)
 
 
+def test_audio_rate_subsampler_resamples_wav():
+    """PCM16 WAV roundtrip through AudioRateSubsampler: rate converted,
+    duration preserved, signal shape (a sine) preserved."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emu_tpu.data.subsamplers import AudioRateSubsampler
+
+    rate_in, rate_out, secs, freq = 44100, 16000, 1, 440
+    t = np.arange(rate_in * secs) / rate_in
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate_in)
+        w.writeframes(x.tobytes())
+
+    sub = AudioRateSubsampler(sample_rate=rate_out)
+    streams, meta, err = sub({"wav": buf.getvalue()}, {})
+    assert err is None and meta["audio_rate"] == rate_out
+    with wave.open(io.BytesIO(streams["wav"]), "rb") as w:
+        assert w.getframerate() == rate_out
+        y = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert abs(len(y) - rate_out * secs) <= 1
+    # dominant frequency survives the resample
+    spec = np.abs(np.fft.rfft(y.astype(np.float64)))
+    assert abs(np.argmax(spec) - freq * secs) <= 2
+
+    # unsupported codecs report an error, not a silent pass-through
+    _, _, err = sub({"flac": b"\x00"}, {})
+    assert err and "flac" in err
+
+
 def test_vtt_parse_and_dedupe():
     vtt = ("WEBVTT\n\n00:00:01.000 --> 00:00:03.000\nhello world\n\n"
            "00:00:03.000 --> 00:00:05.000\nhello world\nsecond line\n")

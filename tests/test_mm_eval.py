@@ -48,6 +48,49 @@ def test_cider_identical_captions_score_high():
     assert cider_d(worse, refs) < cider_d(res, refs)
 
 
+def test_meteor_against_nltk_oracle():
+    """Our METEOR (exact + Porter-stem stages) vs nltk's implementation
+    of the same published algorithm, with the wordnet stage disabled on
+    both sides (corpus data absent from the image)."""
+    nltk_meteor = pytest.importorskip("nltk.translate.meteor_score")
+    from nltk.stem.porter import PorterStemmer
+
+    from emu_tpu.mm_eval.metrics.caption import meteor, tokenize
+
+    class NoWordnet:
+        def synsets(self, word):
+            return []
+
+    cases = [
+        ("a cat sits on the mat", ["a cat sits on the mat"]),
+        ("the cat sat on a mat", ["a cat sits on the mat",
+                                  "there is a cat on the mat"]),
+        ("dogs running quickly through fields",
+         ["a dog runs quick through the field"]),
+        ("completely unrelated words here", ["the president gave a speech"]),
+        ("it is a truth universally acknowledged",
+         ["it is a truth universally acknowledged that a single man"]),
+    ]
+    for hyp, refs in cases:
+        expected = max(
+            nltk_meteor.single_meteor_score(
+                tokenize(r), tokenize(hyp), stemmer=PorterStemmer(),
+                wordnet=NoWordnet())
+            for r in refs)
+        ours = meteor({"0": hyp}, {"0": refs})
+        assert abs(ours - expected) < 1e-9, (hyp, ours, expected)
+
+
+def test_meteor_bounds_and_ordering():
+    from emu_tpu.mm_eval.metrics.caption import meteor
+    refs = {"0": ["a brown dog chases the ball"]}
+    perfect = meteor({"0": "a brown dog chases the ball"}, refs)
+    partial = meteor({"0": "a dog chases something"}, refs)
+    zero = meteor({"0": "quantum flux capacitor"}, refs)
+    assert perfect > partial > zero == 0.0
+    assert perfect > 0.99
+
+
 def test_trie_tables():
     # candidates: [5, 6, EOS], [5, 7, EOS]
     trie = build_trie([[5, 6, 2], [5, 7, 2]], vocab_size=10, eos_token_id=2,
