@@ -97,6 +97,86 @@ def test_plms_scheduler_recovers_clean_sample_with_oracle():
                                atol=5e-2)
 
 
+def test_plms_matches_hand_derived_step_sequence():
+    """Pin the PLMS trajectory against an independent float64
+    transliteration of the published PNDM/PLMS update equations
+    (Liu et al. 2022 eq. 12; diffusers step_plms bookkeeping: duplicated
+    second-to-last timestep, counter==1 half-step on the saved sample,
+    Adams-Bashforth 2/3/4-term coefficients). The hand reference keeps a
+    Python-list eps history and scalar control flow — none of the jitted
+    implementation's ring-buffer/switch structure — so agreement at 1e-4
+    over a 4-step (5 PLMS calls) run with a nonlinear fake model pins the
+    algebra, not the implementation."""
+    cfg = SchedulerConfig()
+    n_inf = 4
+    sched = PNDMScheduler(cfg, num_inference_steps=n_inf)
+
+    n = cfg.num_train_timesteps
+    betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, n,
+                        dtype=np.float64) ** 2
+    ac = np.cumprod(1.0 - betas)
+    final_ac = 1.0 if cfg.set_alpha_to_one else ac[0]
+    ratio = n // n_inf
+
+    def get_prev(sample, t, t_prev, eps):
+        a_t = ac[t]
+        a_prev = ac[t_prev] if t_prev >= 0 else final_ac
+        coeff = (a_prev / a_t) ** 0.5
+        denom = a_t * (1 - a_prev) ** 0.5 + (
+            a_t * (1 - a_t) * a_prev) ** 0.5
+        return coeff * sample - (a_prev - a_t) * eps / denom
+
+    def fake_eps(x, t):                     # nonlinear, t-dependent
+        return np.tanh(x) * (0.5 + t / n) + 0.01 * x * x
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 3, 2))
+
+    # hand reference walk
+    base = (np.arange(n_inf) * ratio).astype(np.int64) + cfg.steps_offset
+    ts = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+    ets, cur_sample, ref, traj = [], None, x.copy(), []
+    for counter, t in enumerate(ts):
+        t = int(t)
+        eps = fake_eps(ref, t)
+        t_prev = t - ratio
+        if counter != 1:
+            ets = ets[-3:] + [eps]
+        else:
+            t_prev, t = t, t + ratio
+        if len(ets) == 1 and counter == 0:
+            eff, cur_sample, sample = eps, ref, ref
+        elif len(ets) == 1 and counter == 1:
+            eff = (eps + ets[-1]) / 2
+            sample = cur_sample
+        elif len(ets) == 2:
+            eff = (3 * ets[-1] - ets[-2]) / 2
+            sample = ref
+        elif len(ets) == 3:
+            eff = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+            sample = ref
+        else:
+            eff = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                   - 9 * ets[-4]) / 24
+            sample = ref
+        ref = get_prev(sample, t, t_prev, eff)
+        traj.append(ref.copy())
+
+    # jitted implementation walk, same fake model
+    np.testing.assert_array_equal(np.asarray(sched.timesteps), ts)
+    sample = jnp.asarray(x, jnp.float32)
+    state = sched.init_state(sample.shape)
+    step = jax.jit(sched.step)
+    for i in range(sched.num_steps):
+        t = int(sched.timesteps[i])
+        eps = jnp.asarray(fake_eps(np.asarray(sample, np.float64), t),
+                          jnp.float32)
+        sample, state = step(eps, jnp.int32(i), sample, state)
+        np.testing.assert_allclose(np.asarray(sample, np.float64), traj[i],
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"PLMS step {i} (t={t})")
+
+
 def test_unet_sd_class_shapes():
     cfg = UNetConfig.tiny(cross_attention_dim=16, sdxl=False)
     params = unet.init(jax.random.PRNGKey(0), cfg)
