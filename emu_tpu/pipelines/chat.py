@@ -125,6 +125,61 @@ class EmuChatGeneration:
             text += T.GRD
         return text, images, videos
 
+    def _assemble_batch(self, batch_inputs: List[List],
+                        is_grounding: bool):
+        """Conversations → (prompt texts, image arrays, video arrays)."""
+        texts, images, videos = [], [], []
+        for inputs in batch_inputs:
+            assert isinstance(inputs, list)
+            if inputs and isinstance(inputs[0], list):
+                assert len(inputs) % 2 == 1, \
+                    "last message must be user input"
+                text, im, vid = self._prepare_chat_inputs(inputs,
+                                                          is_grounding)
+            else:
+                text, im, vid = self._prepare_inputs(inputs)
+            text = text.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
+            text = text.replace(T.VID_PLACEHOLDER, self.video_placeholder)
+            texts.append(text)
+            images += im
+            videos += vid
+        return texts, images, videos
+
+    def _encode_visuals(self, images, videos):
+        import jax.numpy as jnp
+        image_embeds = video_embeds = None
+        if images:
+            batch = jnp.asarray(np.stack(images))
+            e = emu2.encode_image_lm(self.params, self.cfg, batch,
+                                     self.cfg.n_query)
+            image_embeds = e.reshape(-1, e.shape[-1])
+        if videos:
+            batch = jnp.asarray(np.stack(videos))
+            e = emu2.encode_image_lm(self.params, self.cfg, batch,
+                                     self.cfg.v_query)
+            video_embeds = e.reshape(-1, e.shape[-1])
+        return image_embeds, video_embeds
+
+    def embed_inputs(self, inputs: List, is_grounding: bool = False):
+        """One conversation → (inputs_embeds [1,S,D], mask [1,S],
+        token_ids [1,S]): the prompt in decoder-embedding space with
+        visual embeds scattered in — the admission unit for the
+        slot-level continuous engine (generation.continuous). token_ids
+        additionally serve the text-only speculative path."""
+        import jax.numpy as jnp
+        texts, images, videos = self._assemble_batch([inputs],
+                                                     is_grounding)
+        ids, mask = self.tokenizer.encode_batch(texts)
+        image_embeds, video_embeds = self._encode_visuals(images, videos)
+        ids_j = jnp.asarray(ids)
+        embeds = emu2.scatter_embeds(self.params, ids_j, image_embeds,
+                                     self.tokenizer.image_token_id)
+        if video_embeds is not None:
+            embeds = emu2.scatter_embeds(self.params, ids_j, video_embeds,
+                                         self.tokenizer.gimg_token_id,
+                                         base_embeds=embeds)
+        return embeds, jnp.asarray(mask), ids
+
     # -- generation ----------------------------------------------------------
 
     def __call__(self, inputs: List, **kwargs) -> str:
@@ -141,41 +196,21 @@ class EmuChatGeneration:
                        length_penalty: float = -1.0,
                        repetition_penalty: float = 1.0,
                        skip_special_tokens: bool = True,
+                       speculative: bool = False,
                        rng=None) -> List[str]:
         """Run several independent conversations as one padded batch —
-        the unit the serving-side dynamic batcher dispatches."""
-        texts, images, videos = [], [], []
-        for inputs in batch_inputs:
-            assert isinstance(inputs, list)
-            if inputs and isinstance(inputs[0], list):
-                assert len(inputs) % 2 == 1, \
-                    "last message must be user input"
-                text, im, vid = self._prepare_chat_inputs(inputs,
-                                                          is_grounding)
-            else:
-                text, im, vid = self._prepare_inputs(inputs)
-            text = text.replace(T.IMG_PLACEHOLDER, self.image_placeholder)
-            text = text.replace(T.VID_PLACEHOLDER, self.video_placeholder)
-            texts.append(text)
-            images += im
-            videos += vid
+        the unit the serving-side dynamic batcher dispatches.
 
+        `speculative` is a serving-level routing hint (consumed by the
+        continuous backend's draft/verify side path); the batched path
+        accepts and ignores it."""
+        import jax.numpy as jnp
+        texts, images, videos = self._assemble_batch(batch_inputs,
+                                                     is_grounding)
         # bucket prompt lengths so repeat requests hit the jit cache
         ids, mask = self.tokenizer.encode_batch(texts, padding_side="left",
                                                 pad_to_multiple=64)
-
-        import jax.numpy as jnp
-        image_embeds = video_embeds = None
-        if images:
-            batch = jnp.asarray(np.stack(images))
-            e = emu2.encode_image_lm(self.params, self.cfg, batch,
-                                     self.cfg.n_query)
-            image_embeds = e.reshape(-1, e.shape[-1])
-        if videos:
-            batch = jnp.asarray(np.stack(videos))
-            e = emu2.encode_image_lm(self.params, self.cfg, batch,
-                                     self.cfg.v_query)
-            video_embeds = e.reshape(-1, e.shape[-1])
+        image_embeds, video_embeds = self._encode_visuals(images, videos)
 
         if penalty_alpha:              # contrastive search (ref chat.py:52)
             num_beams = 1

@@ -29,6 +29,18 @@ def main():
                    help="coalesce concurrent same-kwargs chat requests "
                         "into one padded TPU batch (max_batch 8, 30ms "
                         "window)")
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-level continuous batching on the chat "
+                        "route: requests share one decode loop, short "
+                        "ones never queue behind long ones (greedy "
+                        "decode)")
+    p.add_argument("--speculative", action="store_true",
+                   help="with --continuous: enable the per-request "
+                        "speculative side path (form field "
+                        "speculative=true; needs a draft model — --tiny "
+                        "builds a 1-layer demo draft)")
+    p.add_argument("--max_slots", type=int, default=8)
+    p.add_argument("--max_len", type=int, default=512)
     p.add_argument("--tiny", action="store_true",
                    help="serve tiny random-weight pipelines")
     p.add_argument("--chat_ckpt", default=None)
@@ -63,7 +75,23 @@ def main():
         else:
             build = lambda i: EmuChatGeneration.from_pretrained(
                 args.chat_ckpt, instruct=True, dtype=jnp.bfloat16)
-        if args.batching:
+        if args.continuous:
+            from emu_tpu.serving.continuous_helper import \
+                ContinuousChatHelper
+            draft = None
+            if args.speculative:
+                if not args.tiny:
+                    p.error("--speculative needs a draft model; only the "
+                            "--tiny demo draft is bundled")
+                import dataclasses
+                import jax
+                from emu_tpu.models import llama as _llama
+                dcfg = dataclasses.replace(cfg.llama, num_hidden_layers=1)
+                draft = (_llama.init(jax.random.PRNGKey(7), dcfg), dcfg)
+            chat_helper = ContinuousChatHelper(
+                build(0), max_slots=args.max_slots, max_len=args.max_len,
+                draft=draft)
+        elif args.batching:
             from emu_tpu.serving.batching import BatchingChatHelper
             chat_helper = BatchingChatHelper(build(0))
         else:

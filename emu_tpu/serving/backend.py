@@ -79,6 +79,8 @@ class EmuHTTPServer:
             num_beams=int(form.get("num_beams", 5)),
             repetition_penalty=float(form.get("repetition_penalty", 1.0)),
         )
+        if "speculative" in form:       # continuous-backend extension
+            kwargs["speculative"] = form["speculative"].lower() == "true"
         logger.info("%s: chat request %s", log_id, kwargs)
         pipeline = self.chat_helper.get()
         res = {"code": 0}

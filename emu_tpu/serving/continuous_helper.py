@@ -1,0 +1,148 @@
+"""Continuous-batching chat serving: /v1/mmc feeds the slot engine.
+
+Drop-in for `serving.Helper` on the chat route (≙ the reference Helper
+replica pool it supersedes, Emu2/demo/backend/pytorch_model/backend.py:
+55-93). Instead of one whole `generate` call per checked-out replica,
+every request is admitted into a slot of ONE `generation.continuous.
+ContinuousEngine`: a dispatcher thread prefills new requests into free
+slots between decode steps and retires finished ones immediately, so a
+3-token request never queues behind a 512-token one (no head-of-line
+blocking — asserted by tests/test_serving.py over real HTTP).
+
+Continuous mode decodes greedily (the slot engine's sampling unit is the
+whole pool, so per-request beam/top-p knobs don't apply); requests that
+need beam search belong on the plain Helper/Batching backends.
+
+Speculative decoding is opt-in per request (`speculative=true` form
+field): text-only prompts run draft-propose + single-pass target-verify
+(`generation.speculative`) on a side thread — output provably identical
+to the engine's greedy stream — and prompts with images fall back to the
+slot engine.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+logger = logging.getLogger("emu_tpu.serving")
+
+
+def _text_only(inputs: List) -> bool:
+    flat = []
+    for x in inputs:
+        (flat.extend if isinstance(x, list) else flat.append)(x)
+    return all(isinstance(x, str) for x in flat)
+
+
+class ContinuousChatHelper:
+    """Helper-compatible pool facade over one ContinuousEngine."""
+
+    def __init__(self, pipeline, *, max_slots: int = 8, max_len: int = 512,
+                 draft: Optional[Tuple[dict, object]] = None,
+                 spec_k: int = 4, poll_s: float = 0.05):
+        from emu_tpu.generation.continuous import ContinuousEngine
+        self.pipeline = pipeline
+        tok = pipeline.tokenizer
+        self.engine = ContinuousEngine(
+            pipeline.params["decoder"], pipeline.cfg.llama,
+            max_slots=max_slots, max_len=max_len,
+            eos_token_id=tok.eos_token_id)
+        self.draft = draft                  # (params, LlamaConfig) or None
+        self.spec_k = spec_k
+        self.poll_s = poll_s
+        self.pending: "queue.Queue" = queue.Queue()
+        self.waiting: Dict[int, Future] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._thread.start()
+
+    # Helper-compatible interface ------------------------------------------
+
+    def get(self):
+        return _Proxy(self)
+
+    def put(self, proxy):
+        pass
+
+    def shutdown(self):
+        self._stop = True
+        self._thread.join(timeout=5)
+
+    # dispatcher ------------------------------------------------------------
+
+    def _admit(self, item):
+        fut, inputs, kwargs = item
+        try:
+            embeds, mask, _ = self.pipeline.embed_inputs(
+                inputs, kwargs.get("is_grounding", False))
+            rid = self.engine.submit(embeds, mask,
+                                     int(kwargs.get("max_new_tokens", 10)))
+            self.waiting[rid] = fut
+        except Exception as ex:  # noqa: BLE001
+            fut.set_exception(ex)
+
+    def _resolve_finished(self):
+        for rid, toks in self.engine.finished().items():
+            fut = self.waiting.pop(rid, None)
+            if fut is not None:
+                fut.set_result(self.pipeline.tokenizer.decode(
+                    toks, skip_special_tokens=True))
+
+    def _dispatch(self):
+        while not self._stop:
+            while self.engine.free_slots() > 0:
+                try:
+                    self._admit(self.pending.get_nowait())
+                except queue.Empty:
+                    break
+            if any(r is not None for r in self.engine.slot_req):
+                self.engine.step()
+                self._resolve_finished()
+                continue
+            self._resolve_finished()        # submit-time completions
+            try:
+                self._admit(self.pending.get(timeout=self.poll_s))
+            except queue.Empty:
+                pass
+
+    # speculative side path --------------------------------------------------
+
+    def _run_speculative(self, fut: Future, inputs: List, kwargs: dict):
+        try:
+            from emu_tpu.generation.speculative import speculative_generate
+            _, _, ids = self.pipeline.embed_inputs(
+                inputs, kwargs.get("is_grounding", False))
+            tok = self.pipeline.tokenizer
+            d_params, d_cfg = self.draft
+            toks = speculative_generate(
+                self.pipeline.params["decoder"], self.pipeline.cfg.llama,
+                d_params, d_cfg, ids[0],
+                max_new=int(kwargs.get("max_new_tokens", 10)),
+                k=self.spec_k, eos=tok.eos_token_id)
+            fut.set_result(tok.decode(toks, skip_special_tokens=True))
+        except Exception as ex:  # noqa: BLE001
+            fut.set_exception(ex)
+
+
+class _Proxy:
+    """What get() hands to the route handler: call-shaped like a chat
+    pipeline, blocks until the engine (or the speculative side path)
+    finishes this request."""
+
+    def __init__(self, helper: ContinuousChatHelper):
+        self.helper = helper
+
+    def __call__(self, inputs: List, **kwargs) -> str:
+        fut: Future = Future()
+        spec = bool(kwargs.pop("speculative", False))
+        if spec and self.helper.draft is not None and _text_only(inputs):
+            threading.Thread(target=self.helper._run_speculative,
+                             args=(fut, inputs, kwargs),
+                             daemon=True).start()
+        else:
+            self.helper.pending.put((fut, inputs, kwargs))
+        return fut.result(timeout=600)
