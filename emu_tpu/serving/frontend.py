@@ -207,6 +207,8 @@ FRONTEND_HTML = """<!DOCTYPE html>
 <div class="row">
  <label>cfg <input id="cfg" type="number" value="3.0" step="0.5"></label>
  <label>steps <input id="steps" type="number" value="50"></label>
+ <label>height <input id="genh" type="number" placeholder="default"></label>
+ <label>width <input id="genw" type="number" placeholder="default"></label>
 </div>
 <button onclick="gen()">Generate</button>
 <div><img id="genout" class="result"></div>
@@ -235,10 +237,15 @@ async function chat(){
    (res.code===0?res.data:("[error] "+res.data)) + "\\n";
 }
 async function gen(){
+ const extra = {
+   classifier_free_guidance: document.getElementById("cfg").value,
+   steps: document.getElementById("steps").value};
+ const h = document.getElementById("genh").value;
+ const w = document.getElementById("genw").value;
+ if (h) extra.height = h;
+ if (w) extra.width = w;
  const res = await post("/v1/mmg",
-  {text: document.getElementById("gentext").value, extra:{
-    classifier_free_guidance: document.getElementById("cfg").value,
-    steps: document.getElementById("steps").value}},
+  {text: document.getElementById("gentext").value, extra},
   document.getElementById("genimg"));
  if (res.code===0)
    document.getElementById("genout").src = "data:image/webp;base64,"+res.data;

@@ -125,6 +125,53 @@ def test_bad_image_returns_error_code(server_port):
     assert res["code"] == -1
 
 
+def test_frontend_page_drives_both_routes(server_port):
+    """Drive the built-in HTML frontend at the HTTP level (no browser in
+    this image): fetch GET /, extract the exact form-field contract from
+    the page's JavaScript, and replay the multipart turns the page would
+    post — asserting the replies the page would render into #chatlog and
+    #genout. Breaks if the page's JS and the backend drift apart.
+    Ref behavior: Emu2/demo/frontend/frontend.py:35-80."""
+    import re
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server_port}/", timeout=60) as resp:
+        assert resp.headers["Content-Type"].startswith("text/html")
+        html = resp.read().decode()
+    for el in ("chatlog", "chattext", "chatimg", "beams", "maxnew",
+               "gentext", "cfg", "steps", "genh", "genw", "genout"):
+        assert f'id="{el}"' in html, f"missing UI element #{el}"
+    assert '"/v1/mmc"' in html and '"/v1/mmg"' in html
+
+    # field names the page's JS appends to its FormData
+    appended = set(re.findall(r'fd\.append\("(\w+)"', html))
+    assert {"prompt", "log_id", "img0"} <= appended
+    for key in ("num_beams", "max_new_tokens", "classifier_free_guidance",
+                "steps", "height", "width"):
+        assert key in html, f"page never sends {key}"
+
+    # the chat turn the page builds for image+text input
+    res = _post(server_port, "/v1/mmc",
+                {"log_id": "ui-chat",
+                 "prompt": json.dumps([["IMAGE", "img0"],
+                                       ["TEXT", "what is shown here"]]),
+                 "num_beams": "1", "max_new_tokens": "3"},
+                {"img0": _png_bytes()})
+    assert res["code"] == 0 and isinstance(res["data"], str)
+
+    # the generation turn (page sets #genout.src to data:image/webp;base64,)
+    res = _post(server_port, "/v1/mmg",
+                {"log_id": "ui-gen",
+                 "prompt": json.dumps([["TEXT", "a sunset"]]),
+                 "classifier_free_guidance": "2.0", "steps": "2",
+                 "height": "32", "width": "32"},
+                {})
+    assert res["code"] == 0
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(res["data"])))
+    assert img.format == "WEBP"
+
+
 # -- continuous-batching backend ---------------------------------------------
 
 
