@@ -66,6 +66,37 @@ class EmuGenerationPipeline:
                    unet.init(k2, unet_cfg, dtype), unet_cfg,
                    vae.init(k3, vae_cfg, dtype), vae_cfg, **kwargs)
 
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
+                        tiny: bool = False,
+                        **kwargs) -> "EmuGenerationPipeline":
+        """Load from the reference checkpoint directory layout
+        (Emu1/models/pipeline.py:236-262): `multimodal_encoder/` holding
+        the Emu state dict (pytorch_model.bin / safetensors / sharded
+        index) next to diffusers-style `unet/` and `vae/` weight dirs.
+        feature_extractor/ and safety_checker/ are accepted and ignored
+        (preprocessing is built in; safety_checker defaults to None)."""
+        import os
+
+        from emu_tpu import checkpoint as C
+        if tiny:
+            emu_cfg = Emu1Config.tiny()
+            unet_cfg = UNetConfig.tiny(
+                cross_attention_dim=emu_cfg.llama.hidden_size)
+            vae_cfg = VAEConfig.tiny()
+        else:
+            emu_cfg = Emu1Config()
+            unet_cfg = UNetConfig.emu1_sd15()
+            vae_cfg = VAEConfig.sd15()
+        emu_params = C.load_emu1_checkpoint(
+            os.path.join(path, "multimodal_encoder"), emu_cfg, dtype)
+        unet_params = C.convert_unet(
+            C.load_state_dict(os.path.join(path, "unet")), unet_cfg, dtype)
+        vae_params = C.convert_vae(
+            C.load_state_dict(os.path.join(path, "vae")), vae_cfg, dtype)
+        return cls(emu_params, emu_cfg, unet_params, unet_cfg,
+                   vae_params, vae_cfg, **kwargs)
+
     def _encode_inputs(self, inputs, do_cfg: bool) -> jax.Array:
         text, images = "", []
         for x in inputs:

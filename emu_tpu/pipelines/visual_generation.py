@@ -71,6 +71,43 @@ class EmuVisualGeneration:
                    unet.init(k2, unet_cfg, dtype), unet_cfg,
                    vae.init(k3, vae_cfg, dtype), vae_cfg, **kwargs)
 
+    @classmethod
+    def from_pretrained(cls, model_path: str, dtype=jnp.bfloat16,
+                        tiny: bool = False,
+                        **kwargs) -> "EmuVisualGeneration":
+        """Load the whole Emu2-Gen pipeline from one state dict file
+        (ref Emu2/emu/diffusion.py:250-267: a single safetensors/torch
+        blob whose keys carry multimodal_encoder. / unet. / vae.
+        prefixes, loaded strict onto the from_config structure;
+        safety_checker.* entries are accepted and ignored — pipelines
+        default safety_checker=None)."""
+        from emu_tpu import checkpoint as C
+        sd = C.load_state_dict(model_path)
+        split = {"multimodal_encoder": {}, "unet": {}, "vae": {}}
+        for k, v in sd.items():
+            head, _, rest = k.partition(".")
+            if head in split:
+                split[head][rest] = v
+        missing = [k for k, v in split.items() if not v]
+        if missing:
+            raise ValueError(f"{model_path}: no {missing} weights found "
+                             f"(keys must be prefixed like the reference "
+                             f"pipeline state dict)")
+        if tiny:
+            emu_cfg = Emu2Config.tiny()
+            unet_cfg = UNetConfig.tiny(
+                cross_attention_dim=emu_cfg.vision.width, sdxl=True)
+            vae_cfg = VAEConfig.tiny()
+        else:
+            emu_cfg = Emu2Config()
+            unet_cfg = UNetConfig.emu2_sdxl()
+            vae_cfg = VAEConfig()
+        return cls(
+            C.convert_emu2(split["multimodal_encoder"], emu_cfg, dtype),
+            emu_cfg,
+            C.convert_unet(split["unet"], unet_cfg, dtype), unet_cfg,
+            C.convert_vae(split["vae"], vae_cfg, dtype), vae_cfg, **kwargs)
+
     # -- conditioning (ref diffusion.py:168-212) ----------------------------
 
     def _encode_inputs(self, inputs, do_cfg: bool) -> jax.Array:

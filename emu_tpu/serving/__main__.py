@@ -112,9 +112,12 @@ def main():
                 pipe.tokenizer = tok
                 return pipe
         else:
-            raise NotImplementedError(
-                "full Emu2-Gen serving requires --gen_ckpt conversion; "
-                "see emu_tpu.checkpoint")
+            if not args.gen_ckpt:
+                p.error("generation route needs --gen_ckpt (an Emu2-Gen "
+                        "pipeline state dict, ref diffusion.py:250-267) "
+                        "or --tiny / --disable_generate")
+            build = lambda i: EmuVisualGeneration.from_pretrained(
+                args.gen_ckpt, dtype=jnp.bfloat16)
         gen_helper = Helper(build, args.generate_concurrency)
 
     if args.warmup:

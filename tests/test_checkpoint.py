@@ -154,6 +154,90 @@ def _synthesize_diffusers_unet_sd(target, cfg):
     return sd
 
 
+def test_synth_invert_roundtrips_exactly():
+    """emu_tpu.synth inverts our trees into reference-named state dicts;
+    convert(invert(params)) must round-trip leaf-for-leaf (pins the
+    converter layouts for ViT/VAE/composites, which have no live HF
+    oracle)."""
+    from emu_tpu import synth
+    from emu_tpu.config import Emu1Config, Emu2Config, VAEConfig
+    from emu_tpu.diffusion import vae
+    from emu_tpu.models import emu1, emu2
+
+    def roundtrip(params, sd, convert):
+        back = convert(sd)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(back))
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(params),
+                jax.tree_util.tree_leaves_with_path(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(pa))
+
+    cfg1 = Emu1Config.tiny()
+    p1 = emu1.init(jax.random.PRNGKey(0), cfg1)
+    roundtrip(p1, synth.invert_emu1(p1, cfg1),
+              lambda sd: C.convert_emu1(sd, cfg1))
+
+    cfg2 = Emu2Config.tiny()
+    p2 = emu2.init(jax.random.PRNGKey(1), cfg2)
+    roundtrip(p2, synth.invert_emu2(p2, cfg2),
+              lambda sd: C.convert_emu2(sd, cfg2))
+
+    vcfg = VAEConfig.tiny()
+    pv = vae.init(jax.random.PRNGKey(2), vcfg)
+    roundtrip(pv, synth.invert_vae(pv, vcfg, {}),
+              lambda sd: C.convert_vae(sd, vcfg))
+
+
+def test_sharded_rehearsal_to_caption(tmp_path):
+    """The full checkpoint rehearsal at tiny scale (the bench runs the
+    same flow at real Emu-14B shapes): synthesize an HF sharded-index
+    state dict on disk, load_emu1_checkpoint from the directory, int8-
+    quantize the decoder, caption a synthetic image, and check the
+    quantized path tracks the full-precision one."""
+    from emu_tpu import synth
+    from emu_tpu.config import Emu1Config
+    from emu_tpu.generation import GenerationConfig
+    from emu_tpu.models import emu1
+    from emu_tpu.ops.quant import quantize_tree
+
+    cfg = Emu1Config.tiny()
+    params0 = emu1.init(jax.random.PRNGKey(0), cfg)
+    sd = synth.invert_emu1(params0, cfg)
+    index = synth.save_sharded(sd, str(tmp_path / "ckpt"),
+                               max_shard_bytes=200_000, dtype=np.float32)
+    assert index.endswith("pytorch_model.bin.index.json")
+    import glob
+    assert len(glob.glob(str(tmp_path / "ckpt" / "*.bin"))) > 1, \
+        "rehearsal should exercise a genuinely sharded layout"
+
+    params = C.load_emu1_checkpoint(str(tmp_path / "ckpt"), cfg,
+                                    dtype=jnp.float32)
+    params = dict(params, decoder=quantize_tree(params["decoder"]))
+
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        jnp.float32)
+    tok_img = cfg.llama.vocab_size + 3          # tiny <image> slot id
+    ids = np.full((1, 4 + cfg.n_causal), 7, np.int32)
+    ids[:, 2:2 + cfg.n_causal] = tok_img
+    mask = jnp.ones_like(jnp.asarray(ids))
+    gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                            pad_token_id=0)
+    vis = emu1.encode_image(params, cfg, img)
+    out = emu1.generate(params, cfg, jnp.asarray(ids), mask,
+                        vis.reshape(-1, vis.shape[-1]), gcfg, tok_img)
+    assert out.shape == (1, 4)
+    # the from-disk load is lossless: quantized decode from the loaded
+    # params equals quantizing the in-memory params directly
+    params_mem = dict(params0, decoder=quantize_tree(params0["decoder"]))
+    vis0 = emu1.encode_image(params_mem, cfg, img)
+    out0 = emu1.generate(params_mem, cfg, jnp.asarray(ids), mask,
+                         vis0.reshape(-1, vis0.shape[-1]), gcfg, tok_img)
+    assert np.array_equal(np.asarray(out), np.asarray(out0))
+
+
 def test_orbax_native_roundtrip(tmp_path):
     from emu_tpu.checkpoint import restore_params, save_params
     from emu_tpu.models import llama

@@ -7,6 +7,7 @@ EmuGenerationPipeline — on tiny random-weight configs.
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from emu_tpu import tokenization as T
@@ -103,6 +104,99 @@ def test_emu1_generation_pipeline_end_to_end():
                      num_inference_steps=3, guidance_scale=7.5)
     assert out.size == (32, 32)
     assert nsfw is None
+
+
+def test_emu1_pipeline_from_pretrained_dir(tmp_path):
+    """Reference checkpoint-directory layout (Emu1/models/pipeline.py:
+    236-262): multimodal_encoder/pytorch_model.bin + diffusers unet/ +
+    vae/ dirs → working pipeline."""
+    import torch
+    from PIL import Image
+    from safetensors.numpy import save_file
+
+    from emu_tpu import synth
+    from emu_tpu.config import Emu1Config, UNetConfig, VAEConfig
+    from emu_tpu.diffusion import unet, vae
+    from emu_tpu.models import emu1
+    from emu_tpu.pipelines.emu1_pipeline import EmuGenerationPipeline
+
+    cfg = Emu1Config.tiny()
+    fill = synth.random_fill(0)
+    shapes = jax.eval_shape(
+        lambda: emu1.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32))
+    emu_sd = synth.invert_emu1(
+        synth.materialize(shapes, fill, np.float32), cfg)
+    mdir = tmp_path / "multimodal_encoder"
+    mdir.mkdir()
+    torch.save({k: torch.from_numpy(np.require(v, requirements=["C", "W"]))
+                for k, v in emu_sd.items()}, mdir / "pytorch_model.bin")
+
+    ucfg = UNetConfig.tiny(cross_attention_dim=cfg.llama.hidden_size)
+    u_sd = synth.invert_unet(
+        synth.materialize(jax.eval_shape(
+            lambda: unet.init(jax.random.PRNGKey(1), ucfg)), fill,
+            np.float32), ucfg, {})
+    (tmp_path / "unet").mkdir()
+    save_file(u_sd, str(tmp_path / "unet"
+                        / "diffusion_pytorch_model.safetensors"))
+
+    vcfg = VAEConfig.tiny()
+    v_sd = synth.invert_vae(
+        synth.materialize(jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(2), vcfg)), fill,
+            np.float32), vcfg, {})
+    (tmp_path / "vae").mkdir()
+    save_file(v_sd, str(tmp_path / "vae"
+                        / "diffusion_pytorch_model.safetensors"))
+
+    pipe = EmuGenerationPipeline.from_pretrained(str(tmp_path), tiny=True,
+                                                 dtype=jnp.float32)
+    pipe.tokenizer = _tiny_tokenizer("emu1")
+    img = Image.fromarray(np.zeros((40, 40, 3), "uint8"))
+    out, nsfw = pipe([img, "a dog"], height=32, width=32,
+                     num_inference_steps=2)
+    assert out.size == (32, 32)
+
+
+def test_visual_generation_from_pretrained_file(tmp_path):
+    """Reference single-state-dict layout (Emu2/emu/diffusion.py:250-267):
+    one safetensors blob with multimodal_encoder./unet./vae. prefixes →
+    working pipeline (incl. autoencode mode)."""
+    from PIL import Image
+    from safetensors.numpy import save_file
+
+    from emu_tpu import synth
+    from emu_tpu.config import Emu2Config, UNetConfig, VAEConfig
+    from emu_tpu.diffusion import unet, vae
+    from emu_tpu.models import emu2
+    from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
+
+    cfg = Emu2Config.tiny()
+    fill = synth.random_fill(1)
+    sd = synth.invert_emu2(
+        synth.materialize(jax.eval_shape(
+            lambda: emu2.init(jax.random.PRNGKey(0), cfg,
+                              dtype=jnp.float32)), fill, np.float32), cfg)
+    sd = {"multimodal_encoder." + k: v for k, v in sd.items()}
+    ucfg = UNetConfig.tiny(cross_attention_dim=cfg.vision.width, sdxl=True)
+    synth.invert_unet(
+        synth.materialize(jax.eval_shape(
+            lambda: unet.init(jax.random.PRNGKey(1), ucfg)), fill,
+            np.float32), ucfg, sd, prefix="unet.")
+    vcfg = VAEConfig.tiny()
+    synth.invert_vae(
+        synth.materialize(jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(2), vcfg)), fill,
+            np.float32), vcfg, sd, prefix="vae.")
+    path = str(tmp_path / "emu2_gen.safetensors")
+    save_file(sd, path)
+
+    pipe = EmuVisualGeneration.from_pretrained(path, tiny=True,
+                                               dtype=jnp.float32)
+    pipe.tokenizer = _tiny_tokenizer("emu2")
+    img = Image.fromarray(np.zeros((56, 56, 3), "uint8"))
+    out = pipe(img, num_inference_steps=2, height=32, width=32)
+    assert out.image.size == (32, 32)
 
 
 def test_visual_generation_multimodal_conditioning():
