@@ -71,34 +71,81 @@ def bench_vit_encode(batch=32, k=25, int8: bool = False):
     return batch * k / dt
 
 
-def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
-                       quant: str = "bf16", kv_heads=None):
-    """True 13B layer dims, reduced depth to fit one chip; reported as
-    full-40-layer-equivalent tokens/sec/chip. All modes run with fused
-    qkv/gate_up projections (op launch count is a first-order decode
-    cost on this backend). quant: "bf16" | "int8" (weight-only, XLA
-    dequant-fused matmuls) | "int4" (nibble-packed, pallas W4A8 kernel).
-    v5e-1: 180 / 298 / 252 tok/s (carry-threaded cache; 2k-context 89)."""
+def _llama_13b_cfg(layers=40, kv_heads=None, max_pos=2048):
     from emu_tpu.config import LlamaConfig
+    return LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                       num_hidden_layers=layers, num_attention_heads=40,
+                       num_key_value_heads=kv_heads or 40,
+                       vocab_size=32000, extended_vocab_size=32004,
+                       max_position_embeddings=max_pos)
+
+
+def init_llama_quant_full(cfg, quant: str):
+    """Full-depth quantized LLaMA weights built ON DEVICE, one layer at a
+    time: bf16 13B (26 GB) cannot exist on a 16 GB chip, and the tunnel
+    uploads at ~10 MB/s so host-built weights can't ship either. Each
+    layer is initialized bf16, projection-fused, quantized, and written
+    into preallocated stacked buffers via donated in-place updates —
+    peak HBM = final quantized size + one bf16 layer."""
+    import dataclasses
+    from emu_tpu.models import llama
+    from emu_tpu.ops.quant import quantize_tree
+    bits = 4 if quant == "int4" else 8
+    one = dataclasses.replace(cfg, num_hidden_layers=1)
+
+    def one_quant(key):
+        p = llama.init(key, one, dtype=jnp.bfloat16)
+        return quantize_tree(llama.fuse_projections(p), bits=bits)
+
+    rest = {k: v for k, v in
+            jax.jit(one_quant)(jax.random.PRNGKey(0)).items()
+            if k != "layers"}
+    n = cfg.num_hidden_layers
+    layers = jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype),
+            jax.eval_shape(one_quant, jax.random.PRNGKey(0))["layers"]))()
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def write(layers, key, i):
+        q = one_quant(key)["layers"]
+        return jax.tree_util.tree_map(
+            lambda s, x: jax.lax.dynamic_update_slice(
+                s, x, (i,) + (0,) * (x.ndim - 1)), layers, q)
+
+    for i in range(n):
+        layers = write(layers, jax.random.PRNGKey(i + 1), jnp.int32(i))
+    return dict(rest, layers=layers)
+
+
+def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
+                       quant: str = "bf16", kv_heads=None,
+                       kv_quant: bool = False, params=None):
+    """13B decode tokens/sec/chip. Quantized lanes run TRUE 40-layer
+    depth (weights fit HBM: int8 13.3 GB, int4 6.7 GB — built on device
+    by init_llama_quant_full); bf16 runs reduced depth scaled x(40/L)
+    and is labeled an extrapolation — a bf16 13B does not fit one chip.
+    All modes use fused qkv/gate_up projections (op launch count is a
+    first-order decode cost on this backend)."""
     from emu_tpu.generation import GenerationConfig, llama_generate
     from emu_tpu.models import llama
-    cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
-                      num_hidden_layers=layers, num_attention_heads=40,
-                      num_key_value_heads=kv_heads or 40,
-                      vocab_size=32000, extended_vocab_size=32004)
-    params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if quant != "bf16":
-        from emu_tpu.ops.quant import quantize_tree
-        params = quantize_tree(params, bits=4 if quant == "int4" else 8)
-    params = llama.fuse_projections(params)
+    cfg = _llama_13b_cfg(layers, kv_heads)
+    if params is None:
+        if quant == "bf16":
+            params = llama.fuse_projections(
+                llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+        else:
+            params = init_llama_quant_full(cfg, quant)
     ids = jnp.full((batch, prompt), 7, jnp.int32)
     mask = jnp.ones_like(ids)
     embeds = llama.embed(params, ids)
     gcfg = GenerationConfig(max_new_tokens=new, min_length=new,
-                            eos_token_id=-1, pad_token_id=32000)
+                            eos_token_id=-1, pad_token_id=32000,
+                            kv_cache_quant=kv_quant)
     fn = lambda: llama_generate(params, cfg, embeds, mask, gcfg)
     dt = _time_call(fn)
-    return batch * new / dt * layers / 40.0
+    # report full-40-layer-equivalent rate (exact when layers == 40)
+    return batch * new / dt * cfg.num_hidden_layers / 40.0
 
 
 def bench_llama_prefill(batch=4, seq=2048, layers=8, k=5):
@@ -249,69 +296,123 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S, 3),
     }), flush=True)
-    import functools
+    def run(name, fn, unit):
+        try:
+            print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"secondary {name} failed: {e}", file=sys.stderr)
+
+    run("EVA-ViT-g encode W8A8 int8",
+        functools.partial(bench_vit_encode, int8=True), "img/s/chip")
+    run("llama-13B decode bf16 (8-layer, x5 extrapolated; bf16 13B "
+        "does not fit one chip)", bench_llama_decode, "tok/s/chip")
+
+    # quantized decode at TRUE 40-layer depth — weights built on device,
+    # shared across lanes with the same layout
+    try:
+        p8 = init_llama_quant_full(_llama_13b_cfg(40), "int8")
+        run("llama-13B decode int8 full-depth b8",
+            functools.partial(bench_llama_decode, layers=40, quant="int8",
+                              params=p8), "tok/s/chip")
+        run("llama-13B decode int8 full-depth b32 int8-KV",
+            functools.partial(bench_llama_decode, batch=32, layers=40,
+                              quant="int8", kv_quant=True, params=p8),
+            "tok/s/chip")
+        del p8
+    except Exception as e:  # noqa: BLE001
+        print(f"secondary int8 full-depth build failed: {e}",
+              file=sys.stderr)
+    try:
+        p4 = init_llama_quant_full(_llama_13b_cfg(40), "int4")
+        run("llama-13B decode int4 full-depth b8",
+            functools.partial(bench_llama_decode, layers=40, quant="int4",
+                              params=p4), "tok/s/chip")
+        # b4: at b8 the int8 KV alone is 6.2 GB next to 6.7 GB weights and
+        # XLA's ~4 GB while-loop fragmentation blows the 16 GB HBM
+        run("llama-13B decode int4 full-depth 2k-ctx int8-KV b4",
+            functools.partial(bench_llama_decode, batch=4, layers=40,
+                              quant="int4", prompt=1984, kv_quant=True,
+                              params=p4),
+            "tok/s/chip")
+        del p4
+    except Exception as e:  # noqa: BLE001
+        print(f"secondary int4 full-depth build failed: {e}",
+              file=sys.stderr)
+    try:
+        pg = init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8), "int8")
+        run("llama-13B decode int8 GQA-8kv full-depth b8",
+            functools.partial(bench_llama_decode, layers=40, quant="int8",
+                              kv_heads=8, params=pg), "tok/s/chip")
+        del pg
+    except Exception as e:  # noqa: BLE001
+        print(f"secondary GQA full-depth build failed: {e}",
+              file=sys.stderr)
+
     for name, fn, unit in (
-            ("EVA-ViT-g encode W8A8 int8",
-             functools.partial(bench_vit_encode, int8=True), "img/s/chip"),
-            ("llama-13B-equiv decode bf16", bench_llama_decode,
-             "tok/s/chip"),
-            ("llama-13B-equiv decode int8",
-             functools.partial(bench_llama_decode, quant="int8"),
-             "tok/s/chip"),
-            ("llama-13B-equiv decode int4",
-             functools.partial(bench_llama_decode, quant="int4"),
-             "tok/s/chip"),
-            ("llama-13B-equiv decode int8 GQA-8kv",
-             functools.partial(bench_llama_decode, quant="int8",
-                               kv_heads=8),
-             "tok/s/chip"),
             ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
              "tok/s/chip"),
             ("EVA-4B ViT encode 448px", bench_vit_4b_encode, "img/s/chip"),
             ("EVA-4B ViT encode W8A8 int8",
              functools.partial(bench_vit_4b_encode, int8=True),
              "img/s/chip"),
-            ("Emu1 caption e2e bf16", bench_emu1_caption, "captions/s/chip"),
+            ("Emu1 caption e2e bf16 (8-layer decoder, extrapolated)",
+             bench_emu1_caption, "captions/s/chip"),
             ("llama-13B-equiv train step", bench_llama_train,
              "tok/s/chip"),
-            ("Emu1 caption e2e int8",
-             functools.partial(bench_emu1_caption, int8=True),
+            ("Emu1 caption e2e int8 full-depth",
+             functools.partial(bench_emu1_caption, int8=True,
+                               full_depth=True),
              "captions/s/chip"),
             ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
             ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s")):
-        try:
-            print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"secondary {name} failed: {e}", file=sys.stderr)
+        run(name, fn, unit)
 
 
 
 
 
-def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False):
+def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
+                       full_depth: bool = False):
     """End-to-end Emu1 captioning (the north-star workload): image →
     ViT-g encode → CausalFormer → multimodal prompt prefill → greedy
-    decode of 20 tokens (COCO eval default). Decoder at true 13B layer
-    dims, reduced depth; reported captions/sec/chip with decoder time
-    scaled to full 40-layer depth (encoder time is real)."""
+    decode of 20 tokens (COCO eval default). full_depth=True (int8 only)
+    runs the TRUE 40-layer decoder (int8 13.3 GB + W8A8 encoder fit
+    HBM); otherwise reduced depth with decoder time scaled x(40/L)
+    (encoder time is real either way)."""
     from emu_tpu.config import Emu1Config, LlamaConfig
     from emu_tpu.generation import GenerationConfig
     from emu_tpu.models import emu1, llama
+    if full_depth:
+        assert int8, "full-depth caption requires the int8 decoder"
+        layers = 40
     cfg = Emu1Config(llama=LlamaConfig(
         hidden_size=5120, intermediate_size=13824,
         num_hidden_layers=layers, num_attention_heads=40,
         vocab_size=32000, extended_vocab_size=32004))
-    params = emu1.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if int8:
-        # W8A8 for the MXU-bound encoder, weight-only for the HBM-bound
-        # decoder (the second pass skips already-quantized leaves)
-        from emu_tpu.ops.quant import quantize_tree, VIT_PATTERNS
+    if full_depth:
+        import dataclasses
+        from emu_tpu.ops.quant import VIT_PATTERNS, quantize_tree
+        enc_cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama,
+                                           num_hidden_layers=1))
+        params = emu1.init(jax.random.PRNGKey(0), enc_cfg,
+                           dtype=jnp.bfloat16)
         params = jax.jit(lambda p: quantize_tree(
-            quantize_tree(p, VIT_PATTERNS, act_quant=True,
-                          layer_chunked=True), layer_chunked=True),
+            p, VIT_PATTERNS, act_quant=True, layer_chunked=True),
             donate_argnums=0)(params)
-    params = dict(params,
-                  decoder=llama.fuse_projections(params["decoder"]))
+        params["decoder"] = init_llama_quant_full(cfg.llama, "int8")
+    else:
+        params = emu1.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        if int8:
+            # W8A8 for the MXU-bound encoder, weight-only for the
+            # HBM-bound decoder (second pass skips quantized leaves)
+            from emu_tpu.ops.quant import quantize_tree, VIT_PATTERNS
+            params = jax.jit(lambda p: quantize_tree(
+                quantize_tree(p, VIT_PATTERNS, act_quant=True,
+                              layer_chunked=True), layer_chunked=True),
+                donate_argnums=0)(params)
+        params = dict(params,
+                      decoder=llama.fuse_projections(params["decoder"]))
     images = jax.random.normal(jax.random.PRNGKey(1),
                                (batch, 224, 224, 3), jnp.bfloat16)
     img_tok = 32003
@@ -340,13 +441,11 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
     dims (reduced depth), per-layer remat, adafactor (the memory-lean
     TPU-classic optimizer — adamw moments at these dims would not leave
     room for activations on one chip). Reported as full-40-layer-equiv
-    tokens/sec/chip. Uses the XLA attention path (the flash kernel has
-    no autodiff rule yet; custom-VJP flash is a backlog item)."""
-    import os
+    tokens/sec/chip. Attention runs the Pallas flash kernel in BOTH
+    directions (custom VJP, ops/flash_attention.py)."""
     import optax
     from emu_tpu.config import LlamaConfig
     from emu_tpu.models import llama
-    os.environ["EMU_TPU_FLASH"] = "0"
     cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
                       num_hidden_layers=layers, num_attention_heads=40,
                       vocab_size=32000, extended_vocab_size=32004,
@@ -378,10 +477,7 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
                                        (p, s, jnp.float32(0)))
         return loss
 
-    try:
-        dt = _time_call(lambda: steps(params, opt_state, ids, mask))
-    finally:
-        os.environ.pop("EMU_TPU_FLASH", None)
+    dt = _time_call(lambda: steps(params, opt_state, ids, mask))
     return batch * seq * k / dt * layers / 40.0
 
 

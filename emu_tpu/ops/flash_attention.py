@@ -41,8 +41,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
-            diag_offset, bq, skv_real):
+def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref=None, *, scale,
+            causal, diag_offset, bq, skv_real):
     q = q_ref[0, 0]                                 # [bq, D]
     k = k_ref[0, 0]                                 # [Skv, D]
     v = v_ref[0, 0]                                 # [Skv, D]
@@ -66,6 +66,8 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
     o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+    if lse_ref is not None:                         # softmax stats for VJP
+        lse_ref[0, 0] = m + jnp.log(denom)          # [bq, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +496,84 @@ def mha_bhsd(q: jax.Array, k: jax.Array, v: jax.Array,
 _STREAMING_THRESHOLD = 4096
 
 
+def _short_plan(sq: int):
+    """(bq, sq_pad): largest 8-aligned query block <= 512 dividing the
+    padded length — cuts padding waste vs 128-alignment (257 -> 264
+    instead of 384 rows: -31% work)."""
+    sq_pad = _round_up(sq, 8)
+    divisors = [x for x in range(8, min(sq_pad, 512) + 1, 8)
+                if sq_pad % x == 0]
+    bq = max(divisors)
+    if bq < 128 and sq_pad > 512:          # degenerate factorization
+        bq = 512
+        sq_pad = _round_up(sq, bq)
+    return bq, sq_pad
+
+
+def _pad_bhsd(x, s_pad, d_pad):
+    d = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0),
+                    (0, d_pad - d)))
+    return x.transpose(0, 2, 1, 3)                    # [B, H, S', D']
+
+
+def _valid_padded(kv_valid, b, skv, skv_pad):
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, skv), jnp.int32)
+    return jnp.pad(kv_valid.astype(jnp.int32),
+                   ((0, 0), (0, skv_pad - skv)))[:, None, :]  # [B, 1, Skv']
+
+
+def _flash_short(q, k, v, kv_valid, scale, causal, interpret,
+                 with_lse: bool = False):
+    """Short-sequence tier (K/V whole in VMEM). Returns out (sliced) and,
+    with with_lse, the padded-layout residuals (qt, kt, vt, ot, lse,
+    valid) for the backward kernels."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    d_pad = _round_up(d, 128)
+    bq, sq_pad = _short_plan(sq)
+    skv_pad = _round_up(skv, 8)
+
+    qt = _pad_bhsd(q, sq_pad, d_pad)
+    kt = _pad_bhsd(k, skv_pad, d_pad)
+    vt = _pad_bhsd(v, skv_pad, d_pad)
+    valid = _valid_padded(kv_valid, b, skv, skv_pad)
+
+    grid = (b, h, sq_pad // bq)
+    kernel = functools.partial(
+        _kernel, scale=scale, causal=causal, diag_offset=skv - sq, bq=bq,
+        skv_real=skv)
+    qo_spec = pl.BlockSpec((1, 1, bq, d_pad),
+                           lambda b_, h_, i: (b_, h_, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, skv_pad, d_pad),
+                           lambda b_, h_, i: (b_, h_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    valid_spec = pl.BlockSpec((1, 1, skv_pad), lambda b_, h_, i: (b_, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype)
+    if with_lse:
+        lse_spec = pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, i: (b_, h_, i, 0),
+                                memory_space=pltpu.VMEM)
+        ot, lse = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[qo_spec, kv_spec, kv_spec, valid_spec],
+            out_specs=(qo_spec, lse_spec),
+            out_shape=(out_shape,
+                       jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32)),
+            interpret=interpret,
+        )(qt, kt, vt, valid)
+        out = ot.transpose(0, 2, 1, 3)[:, :sq, :, :d]
+        return out, (qt, kt, vt, ot, lse, valid)
+    out = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec, valid_spec],
+        out_specs=qo_spec, out_shape=out_shape, interpret=interpret,
+    )(qt, kt, vt, valid)
+    return out.transpose(0, 2, 1, 3)[:, :sq, :, :d], None
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "causal", "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     bias=None, mask=None, kv_valid: Optional[jax.Array] = None,
@@ -504,63 +584,211 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     bias/full-mask are not supported here — the dispatcher routes those to
     the XLA path. Contexts beyond the VMEM budget stream K/V in blocks
     with a running-softmax accumulator.
+
+    Differentiable: the short tier has a custom VJP (recompute-based
+    flash backward, see _flash_bwd); the streaming tier is forward-only
+    (long-context training belongs to ring attention).
     """
     assert bias is None and mask is None, "flash path: use kv_valid/causal"
     if k.shape[1] > _STREAMING_THRESHOLD:
         return _flash_streaming(q, k, v, kv_valid, scale, causal, interpret)
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
-
-    d_pad = _round_up(d, 128)
-    # Sequence dims only need sublane (8) alignment — Mosaic accepts any
-    # block second-to-last dim equal to the (padded) array dim. Pick the
-    # largest 8-aligned query block <= 512 that divides the padded length;
-    # this cuts the padding waste from 128-alignment (e.g. 257 -> 264
-    # instead of 384 rows: -31% work).
-    sq_pad = _round_up(sq, 8)
-    divisors = [b for b in range(8, min(sq_pad, 512) + 1, 8)
-                if sq_pad % b == 0]
-    bq = max(divisors)
-    if bq < 128 and sq_pad > 512:          # degenerate factorization
-        bq = 512
-        sq_pad = _round_up(sq, bq)
-    skv_pad = _round_up(skv, 8)
-
-    def pad_to(x, s_pad):
-        return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0),
-                           (0, d_pad - d)))
-
-    qt = pad_to(q, sq_pad).transpose(0, 2, 1, 3)     # [B, H, Sq', D']
-    kt = pad_to(k, skv_pad).transpose(0, 2, 1, 3)
-    vt = pad_to(v, skv_pad).transpose(0, 2, 1, 3)
+    b, skv = q.shape[0], k.shape[1]
     if kv_valid is None:
         kv_valid = jnp.ones((b, skv), jnp.int32)
-    valid = jnp.pad(kv_valid.astype(jnp.int32),
-                    ((0, 0), (0, skv_pad - skv)))[:, None, :]  # [B, 1, Skv']
+    return _flash_diff(q, k, v, kv_valid.astype(jnp.float32), scale, causal,
+                       interpret)
 
-    grid = (b, h, sq_pad // bq)
-    kernel = functools.partial(
-        _kernel, scale=scale, causal=causal, diag_offset=skv - sq, bq=bq,
-        skv_real=skv)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+
+# ---------------------------------------------------------------------------
+# Backward (custom VJP): standard recompute-based flash backward.
+#
+# Residuals are O and the per-row logsumexp L; both backward kernels
+# recompute the logits block and form P = exp(S - L) (the normalized
+# softmax) instead of storing the S×S matrix. With D = rowsum(dO ∘ O):
+#   dV = Pᵀ dO
+#   dS = P ∘ (dO Vᵀ − D)
+#   dQ = dS K · scale      (one kernel, grid over q blocks, K/V in VMEM)
+#   dK = dSᵀ Q · scale     (one kernel, grid over kv blocks, Q/dO/O in VMEM)
+# Replaces the backward half of the reference's xformers dependency
+# (Emu1/models/eva_vit_model.py:22) so training runs fused attention in
+# both directions.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_block(budget, whole_bytes, s_other_pad, s_pad, n_tmp):
+    """Largest 8-aligned block of s_pad fitting the scoped-VMEM budget."""
+    for blk in range(min(s_pad, 512), 7, -8):
+        if s_pad % blk:
+            continue
+        if whole_bytes + n_tmp * blk * _round_up(s_other_pad, 128) * 4 \
+                <= budget:
+            return blk
+    return None
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
+               dq_ref, *, scale, causal, diag_offset, bq, sq_real, skv_real):
+    skv = k_ref.shape[2]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    iq = pl.program_id(2)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, skv), 0) + iq * bq
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, skv), 1)
+    keep = jnp.logical_and(col < skv_real, row < sq_real)
+    if causal:
+        keep = jnp.logical_and(keep, col <= row + diag_offset)
+    keep = jnp.logical_and(keep, valid_ref[0, 0, :][None, :] > 0)
+    p = jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0)    # [bq, Skv]
+
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    d_row = jnp.sum(do * o, axis=-1, keepdims=True)          # [bq, 1]
+    dp = jax.lax.dot_general(do_ref[0, 0], v_ref[0, 0],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - d_row)
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref, valid_ref,
+                dk_ref, dv_ref, *, scale, causal, diag_offset, bk,
+                sq_real, skv_real):
+    sq = q_ref.shape[2]
+    ik = pl.program_id(2)
+    k = k_ref[0, 0]
+    q = q_ref[0, 0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (bk, sq), 0) + ik * bk  # kv
+    col = jax.lax.broadcasted_iota(jnp.int32, (bk, sq), 1)            # q
+    keep = jnp.logical_and(row < skv_real, col < sq_real)
+    if causal:
+        keep = jnp.logical_and(keep, row <= col + diag_offset)
+    keep = jnp.logical_and(keep, valid_ref[0, 0, :][:, None] > 0)
+    pt = jnp.where(keep, jnp.exp(st - lse_ref[0, 0, :, 0][None, :]), 0.0)
+
+    do = do_ref[0, 0]                                        # [Sq, D]
+    dv = jax.lax.dot_general(pt.astype(do.dtype), do,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    dpt = jax.lax.dot_general(v_ref[0, 0], do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    d_row = jnp.sum(do.astype(jnp.float32)
+                    * o_ref[0, 0].astype(jnp.float32), axis=-1)   # [Sq]
+    dst = pt * (dpt - d_row[None, :])
+    dk = jax.lax.dot_general(dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
+                    interpret):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    d_pad = _round_up(d, 128)
+    sq_pad = lse_bhs.shape[2]
+    skv_pad = _round_up(skv, 8)
+    itemsize = q.dtype.itemsize
+
+    qt = _pad_bhsd(q, sq_pad, d_pad)
+    kt = _pad_bhsd(k, skv_pad, d_pad)
+    vt = _pad_bhsd(v, skv_pad, d_pad)
+    ot = _pad_bhsd(out, sq_pad, d_pad)
+    dot = _pad_bhsd(do.astype(q.dtype), sq_pad, d_pad)
+    valid = _valid_padded(kv_valid, b, skv, skv_pad)
+    diag = skv - sq
+
+    # dq: K/V whole in VMEM, grid over q blocks
+    kv_bytes = 2 * 2 * skv_pad * d_pad * itemsize
+    bq = _bwd_block(15.5e6, kv_bytes, skv_pad, sq_pad, n_tmp=4)
+    assert bq is not None, "dq backward block does not fit VMEM"
+    qblk = lambda b_, h_, i: (b_, h_, i, 0)
+    whole = lambda b_, h_, i: (b_, h_, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal,
+                          diag_offset=diag, bq=bq, sq_real=sq,
+                          skv_real=skv),
+        grid=(b, h, sq_pad // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d_pad), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv_pad, d_pad), whole,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, skv_pad, d_pad),
-                         lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, skv_pad, d_pad), whole,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, skv_pad, d_pad),
-                         lambda b_, h_, i: (b_, h_, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, skv_pad), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d_pad),
-                               lambda b_, h_, i: (b_, h_, i, 0),
+        out_specs=pl.BlockSpec((1, 1, bq, d_pad), qblk,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt, valid)
-    return out.transpose(0, 2, 1, 3)[:, :sq, :, :d]
+    )(qt, kt, vt, dot, ot, lse_bhs, valid)
+
+    # dk/dv: Q/dO/O whole in VMEM, grid over kv blocks
+    q_bytes = 3 * 2 * sq_pad * d_pad * itemsize + sq_pad * 4
+    bk = _bwd_block(15.5e6, q_bytes, sq_pad, skv_pad, n_tmp=4)
+    assert bk is not None, "dk/dv backward block does not fit VMEM"
+    kblk = lambda b_, h_, j: (b_, h_, j, 0)
+    whole_q = lambda b_, h_, j: (b_, h_, 0, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal,
+                          diag_offset=diag, bk=bk, sq_real=sq,
+                          skv_real=skv),
+        grid=(b, h, skv_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk, d_pad), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d_pad), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq_pad, d_pad), whole_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq_pad, d_pad), whole_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq_pad, d_pad), whole_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq_pad, 1), whole_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda b_, h_, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, bk, d_pad), kblk,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, bk, d_pad), kblk,
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), v.dtype)),
+        interpret=interpret,
+    )(kt, vt, qt, dot, ot, lse_bhs, valid)
+
+    unpad = lambda x, s: x.transpose(0, 2, 1, 3)[:, :s, :, :d]
+    return unpad(dq, sq), unpad(dk, skv), unpad(dv, skv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_diff(q, k, v, kv_valid_f, scale, causal, interpret):
+    out, _ = _flash_short(q, k, v, kv_valid_f, scale, causal, interpret)
+    return out
+
+
+def _flash_diff_fwd(q, k, v, kv_valid_f, scale, causal, interpret):
+    out, res = _flash_short(q, k, v, kv_valid_f, scale, causal, interpret,
+                            with_lse=True)
+    _, _, _, ot, lse, _ = res
+    return out, (q, k, v, kv_valid_f, out, lse)
+
+
+def _flash_diff_bwd(scale, causal, interpret, res, do):
+    q, k, v, kv_valid_f, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, kv_valid_f, out, do, lse, scale,
+                                 causal, interpret)
+    return dq, dk, dv, jnp.zeros_like(kv_valid_f)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -39,6 +39,73 @@ def test_flash_causal_with_padding():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("causal,with_valid,d", [
+    (False, False, 88), (True, False, 64), (True, True, 64),
+])
+def test_flash_backward_matches_xla_grads(causal, with_valid, d):
+    """Custom-VJP flash backward vs XLA autodiff through the reference
+    attention — dq/dk/dv all compared (the xformers-backward equivalent,
+    ref Emu1/models/eva_vit_model.py:22)."""
+    b, s, h = 2, 130, 2
+    q, k, v = (_rand(i + 40, (b, s, h, d)) for i in range(3))
+    kv_valid = None
+    cot = np.array(_rand(50, (b, s, h, d)))      # copy: jnp views are RO
+    if with_valid:
+        kvn = np.ones((b, s), np.int32)
+        kvn[0, :9] = 0
+        kv_valid = jnp.asarray(kvn)
+        # fully-masked (left-pad) query rows hold garbage by contract and
+        # their loss contribution is always masked in training — the XLA
+        # path degenerates to uniform attention there (leaking gradient
+        # into every v row), the flash backward zeroes them; neither is
+        # observable through a masked loss, so exclude them here.
+        cot[0, :9] = 0.0
+    cot = jnp.asarray(cot)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv_valid=kv_valid, scale=d ** -0.5,
+                              causal=causal, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(q, k, v, None, None, kv_valid, d ** -0.5,
+                             causal)
+        return jnp.sum(out * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-2, atol=2e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_backward_cross_lengths():
+    """Sq != Skv (causal offset) gradients."""
+    b, h, d = 1, 2, 32
+    sq, skv = 64, 130
+    q = _rand(60, (b, sq, h, d))
+    k = _rand(61, (b, skv, h, d))
+    v = _rand(62, (b, skv, h, d))
+    cot = _rand(63, (b, sq, h, d))
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) * cot)
+        return inner
+
+    flash_fn = lambda q, k, v: flash_attention(
+        q, k, v, scale=d ** -0.5, causal=True, interpret=True)
+    ref_fn = lambda q, k, v: _xla_attention(q, k, v, None, None, None,
+                                            d ** -0.5, True)
+    g1 = jax.grad(loss(flash_fn), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-2, atol=2e-3,
+                                   err_msg=f"d{name}")
+
+
 def test_flash_cross_lengths():
     """Sq != Skv with causal offset (decode-against-cache alignment)."""
     b, h, d = 1, 2, 32
