@@ -105,7 +105,7 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
             # attention reads the pre-gathered view + the fresh token
             k_full = k_vw.at[bidx, slots].set(k_new[:, 0].astype(k_vw.dtype))
             v_full = v_vw.at[bidx, slots].set(v_new[:, 0].astype(v_vw.dtype))
-            return (k_full.astype(x.dtype), v_full.astype(x.dtype),
+            return ((k_full.astype(x.dtype), v_full.astype(x.dtype)),
                     (k_cache, v_cache))
 
         x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
@@ -134,11 +134,16 @@ def paged_prefill_insert(params: dict, cfg: LlamaConfig, cache: dict,
     small = llama.init_cache(cfg, 1, n * page, dtype=cache["k"].dtype)
     hidden, small = llama.prefill(params, cfg, inputs_embeds,
                                   attention_mask, small)
-    # scatter the contiguous prefill kv into the pool pages
-    k_pages = small["k"][:, 0, :n * page].reshape(
-        cfg.num_hidden_layers, n, page, cfg.kv_heads, cfg.head_dim)
-    v_pages = small["v"][:, 0, :n * page].reshape(
-        cfg.num_hidden_layers, n, page, cfg.kv_heads, cfg.head_dim)
+    # scatter the contiguous prefill kv into the pool pages (the dense
+    # scratch cache is head-major [L, 1, H, S, D]; the pool pages keep
+    # [page, H, D] token-major entries)
+    def to_pages(plane):
+        sd = plane[:, 0].transpose(0, 2, 1, 3)           # [L, S, H, D]
+        return sd[:, :n * page].reshape(
+            cfg.num_hidden_layers, n, page, cfg.kv_heads, cfg.head_dim)
+
+    k_pages = to_pages(small["k"])
+    v_pages = to_pages(small["v"])
     k = cache["k"].at[:, pages].set(k_pages)
     v = cache["v"].at[:, pages].set(v_pages)
     pt = cache["page_table"].at[slot].set(-1)

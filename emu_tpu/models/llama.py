@@ -10,10 +10,11 @@ regresses visual embeddings (modeling_llama.py:169).
 TPU design:
 - layers stacked on a leading axis, executed via `lax.scan` (one compiled
   block for 40/60 layers);
-- the KV cache is an explicit pytree `{k, v: [L, B, max_len, H, Dh]}`
-  threaded through `prefill` / `decode_step` and donated by the generation
-  loop — the replacement for HF's dynamic `past_key_values` lists, with
-  fully static shapes for XLA;
+- the KV cache is an explicit pytree `{k, v: [L, B, Hkv, max_len, Dh]}`
+  (HEAD-MAJOR: each head's (S, D) plane contiguous, the layout the Pallas
+  decode-attention kernel streams densely) threaded through `prefill` /
+  `decode_step` and donated by the generation loop — the replacement for
+  HF's dynamic `past_key_values` lists, with fully static shapes for XLA;
 - left-padded batches: positions derive from the attention mask, matching
   HF generate's position_ids handling;
 - tensor parallelism: attention heads and MLP hidden sharded over the
@@ -162,28 +163,36 @@ def _qkv(p, cfg: LlamaConfig, x, tables, positions):
 
 
 def _attn(p, cfg: LlamaConfig, q, kv, kv_valid, causal, mask=None):
-    """q: roped [B, S, H, Dh]; kv: (k, v) [B, Skv, Hkv, Dh] full key/value
-    sequence; kv_valid: [B, Skv] padding/slot-validity mask; mask: optional
-    dense [B, 1, S, Skv] (chunked verify: per-query causality in a cache)."""
+    """q: roped [B, S, H, Dh]; kv: either a (k, v) pair in [B, Skv, Hkv,
+    Dh] (current-chunk projections, prefill/training) or a cache dict
+    from _cache_kv (head-major [B, Hkv, S, D], optionally int8+scales);
+    kv_valid: [B, Skv] padding/slot-validity mask; mask: optional dense
+    [B, 1, S, Skv] (chunked verify: per-query causality in a cache)."""
     b, s, h, hd = q.shape
-    k_full, v_full = kv
-    # GQA (kv_heads < h) stays grouped — dot_product_attention contracts
-    # query-head groups against the narrow K/V directly, so the cache
-    # read keeps its 1/rep size advantage
-    o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
-                              causal=causal, mask=mask, scale=hd ** -0.5)
+    if isinstance(kv, dict):
+        from emu_tpu.ops.attention import cache_attention
+        o = cache_attention(q, kv, kv_valid=kv_valid, causal=causal,
+                            mask=mask, scale=hd ** -0.5)
+    else:
+        k_full, v_full = kv
+        # GQA (kv_heads < h) stays grouped — dot_product_attention
+        # contracts query-head groups against the narrow K/V directly, so
+        # the cache read keeps its 1/rep size advantage
+        o = dot_product_attention(q, k_full, v_full, kv_valid=kv_valid,
+                                  causal=causal, mask=mask,
+                                  scale=hd ** -0.5)
     return L.dense(p["o_proj"], o.reshape(b, s, h * hd))
 
 
 def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal,
            mask=None):
-    """One decoder layer; `new_kv_fn(k_new, v_new) -> (k_full, v_full,
-    updated_cache_slices)` lets prefill/decode share this body."""
+    """One decoder layer; `new_kv_fn(k_new, v_new) -> (kv, updated_cache)`
+    lets prefill/decode share this body — kv is a (k, v) pair (current
+    chunk) or a _cache_kv dict (cache-resident decode)."""
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
     q, k_new, v_new = _qkv(p["self_attn"], cfg, h, tables, positions)
-    k_full, v_full, cache_out = new_kv_fn(k_new, v_new)
-    x = x + _attn(p["self_attn"], cfg, q, (k_full, v_full), kv_valid,
-                  causal, mask)
+    kv, cache_out = new_kv_fn(k_new, v_new)
+    x = x + _attn(p["self_attn"], cfg, q, kv, kv_valid, causal, mask)
     from emu_tpu.ops.q4_matmul import fused_swiglu_q4, swiglu_q4_plan
     if swiglu_q4_plan(p["post_attention_layernorm"], p["mlp"], x):
         gu, dn = p["mlp"]["gate_up"], p["mlp"]["down"]
@@ -221,7 +230,7 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
 
     def body(x, p):
         x, _ = _layer(p, cfg, x, tables, positions,
-                      lambda k, v: (k, v, 0.0), attention_mask, True)
+                      lambda k, v: ((k, v), 0.0), attention_mask, True)
         return x, None
 
     if remat == "dots":
@@ -255,13 +264,21 @@ def _positions_from_mask(attention_mask: jax.Array) -> jax.Array:
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16, quant: bool = False) -> dict:
-    """KV cache pytree. quant=True stores int8 values with per-(token,
-    head) fp32 scales — 2x the context per chip vs bf16 (the serving
-    lever for Emu2-33B chat histories); the dequantize fuses into the
-    attention einsum's operand load. Prefill attention still uses the
-    exact pre-quantization k/v of the current chunk."""
-    shape = (cfg.num_hidden_layers, batch, max_len,
-             cfg.kv_heads, cfg.head_dim)
+    """KV cache pytree, HEAD-MAJOR: [L, B, Hkv, S, D].
+
+    Head-major puts each head's (S, D) plane contiguous in HBM, so the
+    decode-attention kernel's per-head DMAs are dense tiles (the
+    [.., S, H, D] layout forced lane-segment math that capped the kernel
+    at ~260 GB/s — see ops/decode_attention.py).
+
+    quant=True stores int8 values with per-(head, token) fp32 scales —
+    2x the context per chip vs bf16 (the serving lever for Emu2-33B chat
+    histories); the decode kernel consumes the int8 planes natively
+    (scale folded into the score/PV epilogue, no dequantized copy).
+    Prefill attention still uses the exact pre-quantization k/v of the
+    current chunk."""
+    shape = (cfg.num_hidden_layers, batch, cfg.kv_heads, max_len,
+             cfg.head_dim)
     if quant:
         return {"k": jnp.zeros(shape, jnp.int8),
                 "v": jnp.zeros(shape, jnp.int8),
@@ -278,15 +295,17 @@ def kv_quantize(x: jax.Array):
     return q, s
 
 
-def _cache_read(c: dict, key: str, layer, dtype) -> jax.Array:
-    """Layer `layer`'s K or V plane, dequantized. The dynamic slice and
-    the int8 dequant both fuse into the attention einsum's operand load."""
-    sl = jax.lax.dynamic_index_in_dim(c[key], layer, 0, keepdims=False)
-    if key + "_scale" in c:
-        ssl = jax.lax.dynamic_index_in_dim(c[key + "_scale"], layer, 0,
-                                           keepdims=False)
-        return sl.astype(dtype) * ssl.astype(dtype)[..., None]
-    return sl.astype(dtype)
+def _cache_kv(c: dict, layer, dtype) -> dict:
+    """Layer `layer`'s cache planes for the attention dispatcher: raw
+    int8 + scales when quantized (the decode kernel consumes them
+    natively), bf16 otherwise. format "bhsd" = head-major."""
+    sl = lambda key: jax.lax.dynamic_index_in_dim(c[key], layer, 0,
+                                                  keepdims=False)
+    kv = {"format": "bhsd", "k": sl("k"), "v": sl("v"), "dtype": dtype}
+    if "k_scale" in c:
+        kv["k_scale"] = sl("k_scale")
+        kv["v_scale"] = sl("v_scale")
+    return kv
 
 
 def _cache_write(c: dict, key: str, new: jax.Array, layer, idx) -> dict:
@@ -296,25 +315,28 @@ def _cache_write(c: dict, key: str, new: jax.Array, layer, idx) -> dict:
     it through scan xs/ys instead copies the whole cache per layer per
     step (the dominant cost of long-context decode).
 
-    idx: 4-tuple start for dynamic_update_slice, or a (bidx, slots) pair
-    for per-row scatter (continuous batching)."""
+    new: [B, S_new, Hkv, D] (the projection layout; stored head-major).
+    idx: scalar slot start, or a (bidx, slots) pair for per-row scatter
+    (continuous batching)."""
     out = {}
     if key + "_scale" in c:
         vals, scale = kv_quantize(new)
+        scale = scale.transpose(0, 2, 1)                 # [B, Hkv, S_new]
     else:
         vals, scale = new.astype(c[key].dtype), None
-    if isinstance(idx, tuple) and len(idx) == 4:
+    vals = vals.transpose(0, 2, 1, 3)                    # [B, Hkv, S_new, D]
+    if not isinstance(idx, tuple):
         out[key] = jax.lax.dynamic_update_slice(c[key], vals[None],
-                                                (layer,) + idx)
+                                                (layer, 0, 0, idx, 0))
         if scale is not None:
             out[key + "_scale"] = jax.lax.dynamic_update_slice(
-                c[key + "_scale"], scale[None], (layer,) + idx[:3])
+                c[key + "_scale"], scale[None], (layer, 0, 0, idx))
     else:
         bidx, slots = idx
-        out[key] = c[key].at[layer, bidx, slots].set(vals[:, 0])
+        out[key] = c[key].at[layer, bidx, :, slots].set(vals[:, :, 0])
         if scale is not None:
-            out[key + "_scale"] = c[key + "_scale"].at[layer, bidx,
-                                                       slots].set(scale[:, 0])
+            out[key + "_scale"] = c[key + "_scale"].at[
+                layer, bidx, :, slots].set(scale[:, :, 0])
     return out
 
 
@@ -327,7 +349,7 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     padding supported).
     """
     b, s, _ = inputs_embeds.shape
-    max_len = cache["k"].shape[2]
+    max_len = cache["k"].shape[3]
     tables = rope_tables(cfg, max_len)
     positions = _positions_from_mask(attention_mask)
 
@@ -337,9 +359,9 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, (0, 0, 0, 0)))
-            c_out.update(_cache_write(c, "v", v_new, i, (0, 0, 0, 0)))
-            return k_new, v_new, c_out
+            c_out.update(_cache_write(c, "k", k_new, i, 0))
+            c_out.update(_cache_write(c, "v", v_new, i, 0))
+            return (k_new, v_new), c_out
 
         x, c = _layer(p, cfg, x, tables, positions, write,
                       attention_mask, True)
@@ -364,7 +386,7 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     (post-norm hidden [B, 1, D], updated cache).
     """
     b = token_embeds.shape[0]
-    max_len = cache["k"].shape[2]
+    max_len = cache["k"].shape[3]
     tables = rope_tables(cfg, max_len)
     pos = positions[:, None]                       # [B, 1]
 
@@ -374,10 +396,9 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, (0, slot, 0, 0)))
-            c_out.update(_cache_write(c, "v", v_new, i, (0, slot, 0, 0)))
-            return (_cache_read(c_out, "k", i, x.dtype),
-                    _cache_read(c_out, "v", i, x.dtype), c_out)
+            c_out.update(_cache_write(c, "k", k_new, i, slot))
+            c_out.update(_cache_write(c, "v", v_new, i, slot))
+            return _cache_kv(c_out, i, x.dtype), c_out
 
         x, c = _layer(p, cfg, x, tables, pos, write, slot_mask, False)
         return (x, c), None
@@ -403,7 +424,7 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
     (== slot when there is no padding). Returns (post-norm hidden
     [B, q, D], cache)."""
     b, qn, _ = token_embeds.shape
-    max_len = cache["k"].shape[2]
+    max_len = cache["k"].shape[3]
     tables = rope_tables(cfg, max_len)
     j = jnp.arange(max_len)[None, None, None, :]          # [1,1,1,Skv]
     i = jnp.arange(qn)[None, None, :, None]               # [1,1,q,1]
@@ -416,10 +437,9 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, (0, slot, 0, 0)))
-            c_out.update(_cache_write(c, "v", v_new, i, (0, slot, 0, 0)))
-            return (_cache_read(c_out, "k", i, x.dtype),
-                    _cache_read(c_out, "v", i, x.dtype), c_out)
+            c_out.update(_cache_write(c, "k", k_new, i, slot))
+            c_out.update(_cache_write(c, "v", v_new, i, slot))
+            return _cache_kv(c_out, i, x.dtype), c_out
 
         x, c = _layer(p, cfg, x, tables, positions, write, None,
                       False, mask)
@@ -443,7 +463,7 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
     one shared scalar. slot_mask [B, max_len] must already include each
     row's own new slot. Returns (post-norm hidden [B, 1, D], cache)."""
     b = token_embeds.shape[0]
-    max_len = cache["k"].shape[2]
+    max_len = cache["k"].shape[3]
     tables = rope_tables(cfg, max_len)
     pos = positions[:, None]                       # [B, 1]
     bidx = jnp.arange(b)
@@ -456,8 +476,7 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
             c_out = dict(c)
             c_out.update(_cache_write(c, "k", k_new, i, (bidx, slots)))
             c_out.update(_cache_write(c, "v", v_new, i, (bidx, slots)))
-            return (_cache_read(c_out, "k", i, x.dtype),
-                    _cache_read(c_out, "v", i, x.dtype), c_out)
+            return _cache_kv(c_out, i, x.dtype), c_out
 
         x, c = _layer(p, cfg, x, tables, pos, write, slot_mask, False)
         return (x, c), None

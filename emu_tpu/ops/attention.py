@@ -19,6 +19,7 @@ Masking vocabulary (shared by both backends):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -119,10 +120,71 @@ def dot_product_attention(
     if backend == "batched_mha":
         from emu_tpu.ops import flash_attention as fa
         return fa.batched_mha(q, k, v, scale=float(scale))
-    if backend == "decode":
-        from emu_tpu.ops.decode_attention import decode_attention
-        return decode_attention(q, k, v, kv_valid, scale=float(scale))
     return _xla_attention(q, k, v, bias, mask, kv_valid, scale, causal)
+
+
+def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal):
+    """Attention against HEAD-MAJOR k/v [B, Hkv, Skv, D] (the cache-
+    resident layout) without materializing a layout change; GQA handled
+    grouped. q [B, Sq, H, D] → [B, Sq, H, D]."""
+    b, sq, h, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    rep = h // hkv
+    q5 = q.reshape(b, sq, hkv, rep, d)
+    logits = jnp.einsum("bqgrd,bgkd->bgrqk", q5, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        causal_mask = (ki <= qi + (skv - sq))[None, None, None]
+        logits = jnp.where(causal_mask, logits, _NEG_INF)
+    if kv_valid is not None:
+        logits = jnp.where(kv_valid[:, None, None, None, :].astype(bool),
+                           logits, _NEG_INF)
+    if mask is not None:
+        if mask.shape[1] == 1:
+            m5 = mask[:, :, None]
+        else:
+            m5 = mask.reshape(b, hkv, rep, sq, skv)
+        logits = jnp.where(m5, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bgrqk,bgkd->bqgrd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, h, d).astype(q.dtype)
+
+
+def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
+                    scale: Optional[float] = None, causal: bool = False):
+    """Attention against a cache-resident KV (llama._cache_kv dict):
+    head-major [B, Hkv, S, D] planes, optionally int8 with per-(head,
+    token) scales. Single-query steps route to the Pallas decode kernel
+    (which consumes int8 natively — scales fold into the score/PV
+    epilogue, no dequantized HBM copy); other shapes dequantize and run
+    the head-major XLA einsum chain."""
+    k, v = kv["k"], kv["v"]
+    dt = kv.get("dtype", q.dtype)
+    ks, vs = kv.get("k_scale"), kv.get("v_scale")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if (q.shape[1] == 1 and mask is None and not causal
+            and kv_valid is not None
+            and jax.default_backend() in ("tpu", "axon")
+            and os.environ.get("EMU_TPU_DECODE_KERNEL", "1") != "0"):
+        from emu_tpu.ops.decode_attention import (decode_attention,
+                                                  decode_attention_fits)
+        if decode_attention_fits(q.shape[0], q.shape[2], k.shape[1],
+                                 k.shape[2], k.shape[3],
+                                 k.dtype.itemsize):
+            return decode_attention(q, k, v, kv_valid, k_scale=ks,
+                                    v_scale=vs, scale=float(scale))
+    if ks is not None:
+        k = k.astype(dt) * ks.astype(dt)[..., None]
+        v = v.astype(dt) * vs.astype(dt)[..., None]
+    else:
+        k = k.astype(dt)
+        v = v.astype(dt)
+    return _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal)
 
 
 def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
@@ -142,10 +204,8 @@ def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
         return "xla"
     if force == "1":
         return "flash"
-    if q.shape[1] == 1 and kv_valid is not None:
-        from emu_tpu.ops.decode_attention import decode_attention_fits
-        if decode_attention_fits(q.shape, k.shape, k.dtype.itemsize):
-            return "decode"
+    # (single-query decode no longer reaches this dispatcher — cache-
+    # resident attention goes through cache_attention / decode_attention)
     from emu_tpu.ops.flash_attention import mha_fits
     if (not causal and kv_valid is None and q.shape[1] == k.shape[1]
             and 64 <= q.shape[1] and q.shape[-1] <= 256

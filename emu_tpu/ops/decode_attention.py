@@ -1,29 +1,31 @@
-"""Pallas single-query (decode) attention over a KV cache.
+"""Pallas single-query (decode) attention over a HEAD-MAJOR KV cache.
 
-Why: at decode the XLA attention chain (qk einsum → mask → softmax →
-av einsum → reshape) is ~6 separate op launches per layer on a [B, 1,
-H, D] query AND it streams the cache twice (once per einsum) — at 2k
-context that is ~670 MB of HBM per layer per step. This kernel does the
-whole masked-softmax attention in ONE call with a flash-style running
-softmax over cache chunks, so K and V stream exactly once.
+Why: at decode the XLA attention chain is several op launches per layer
+(~20 us each on the tunneled backend) and, for int8 caches, XLA
+materializes a dequantized HBM copy (read S, write 2S, read 2S — the
+source of the int8-KV throughput regression). This kernel does the whole
+masked-softmax attention in ONE call with a flash-style running softmax
+over cache chunks: K and V stream exactly once, and int8 caches are
+consumed NATIVELY — values cast in-register, the per-(head, token)
+scales folded into the score multiply and the PV operand (no dequantized
+copy ever exists).
 
-Layout trick: the cache stays in the framework's native [B, S, H, D]
-(no relayout); the grid is (B, S/cs) with the chunk axis innermost, and
-per-head work vectorizes as lane-segment math on flattened [cs, H*D]
-views: scores = segment-sum over D of K ⊙ q, softmax statistics per
-head ride [1, H] scratch, context accumulates in [1, H*D]. Mosaic has
-no lane-segment reduce/broadcast primitive (a jnp.broadcast_to over a
-new minor axis lowers to an unsupported gather), so segment reductions
-and broadcasts run as MXU matmuls against E = kron(I_H, 1_D).
+Layout: the cache is head-major [B, Hkv, S, D] (llama.init_cache), so
+each head's (S, D) plane is a dense tile — per-head work is two real
+MXU matmuls (scores = q_g Kᵀ, out = p V) instead of the lane-segment
+VPU math the old [B, S, H, D] layout forced (which capped effective
+bandwidth at ~260 GB/s). GQA runs grouped: the rep query heads of a KV
+head form the M dimension of both matmuls.
 
-Ref behavior: equals attention.dot_product_attention (XLA path) for
-Sq == 1 with a kv_valid mask, which is what llama.decode_step needs
-(ref HF LlamaAttention with past_key_values, single new position).
+Ref behavior: equals attention.cache_attention's XLA path for Sq == 1
+with a kv_valid mask, which is what llama.decode_step needs (ref HF
+LlamaAttention with past_key_values, single new position).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,11 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, m_ref, e_ref, et_ref, o_ref,
-            acc, mx, lse, *, scale):
-    c = pl.program_id(1)
-    nc = pl.num_programs(1)
-    cs, h, dd = k_ref.shape[1], k_ref.shape[2], k_ref.shape[3]
+def _kernel(q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep, quant):
+    if quant:
+        ks_ref, vs_ref, o_ref, acc, mx, lse = rest
+    else:
+        o_ref, acc, mx, lse = rest
+        ks_ref = vs_ref = None
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
 
     @pl.when(c == 0)
     def _():
@@ -45,87 +50,121 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, e_ref, et_ref, o_ref,
         mx[:] = jnp.full_like(mx, _NEG_INF)
         lse[:] = jnp.zeros_like(lse)
 
-    qf = q_ref[0, 0].astype(jnp.float32).reshape(1, h * dd)
-    kf = k_ref[0].astype(jnp.float32).reshape(cs, h * dd)
-    sc = jax.lax.dot_general(kf * qf, et_ref[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    sc = jnp.where(m_ref[0] > 0.0, sc, _NEG_INF)            # [cs, H]
-    m_old = mx[:]
-    m_new = jnp.maximum(m_old, jnp.max(sc, axis=0, keepdims=True))
-    p = jnp.exp(sc - m_new)                                 # [cs, H]
-    corr = jnp.exp(m_old - m_new)                           # [1, H]
-    lse[:] = lse[:] * corr + jnp.sum(p, axis=0, keepdims=True)
-    mx[:] = m_new
-    vf = v_ref[0].astype(jnp.float32).reshape(cs, h * dd)
-    pw = jax.lax.dot_general(p, e_ref[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    cw = jax.lax.dot_general(corr, e_ref[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    acc[:] = acc[:] * cw + jnp.sum(pw * vf, axis=0, keepdims=True)
+    valid = m_ref[0]                                   # [1, cs]
+    for hh in range(hb):                               # static head unroll
+        rows = slice(hh * rep, (hh + 1) * rep)
+        q = q_ref[0, hh]                               # [rep, D]
+        k = k_ref[0, hh]                               # [cs, D]
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if ks_ref is not None:                         # fold int8 scale
+            s = s * ks_ref[0, hh:hh + 1, :]
+        s = s * scale
+        s = jnp.where(valid > 0, s, _NEG_INF)          # [rep, cs]
+
+        m_old = mx[rows, :1]                           # [rep, 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_old - m_new)
+        lse[rows] = jnp.broadcast_to(
+            lse[rows, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+            (rep, lse.shape[1]))
+        mx[rows] = jnp.broadcast_to(m_new, (rep, mx.shape[1]))
+
+        if vs_ref is not None:                         # fold int8 scale
+            p = p * vs_ref[0, hh:hh + 1, :]
+        v = v_ref[0, hh]
+        if v.dtype != q.dtype:
+            v = v.astype(q.dtype)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc[rows] = acc[rows] * corr + pv
 
     @pl.when(c == nc - 1)
     def _():
-        lw = jax.lax.dot_general(lse[:], e_ref[:],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        o_ref[0, 0] = (acc[:] / (lw + 1e-30)).reshape(h, dd
-                                                      ).astype(o_ref.dtype)
+        for hh in range(hb):
+            rows = slice(hh * rep, (hh + 1) * rep)
+            o_ref[0, hh] = (acc[rows] / (lse[rows, :1] + 1e-30)
+                            ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _plan(hkv: int, rep: int, s: int, d: int, itemsize: int):
+    """(hb, cs) or None. Budget: double-buffered k/v blocks + scale rows
+    + q/out + ~6 fp32 temps per in-flight [rep, cs] tile."""
+    for hb in [h for h in range(hkv, 0, -1) if hkv % h == 0]:
+        for cs in range(min(s, 512), 7, -8):
+            if s % cs:
+                continue
+            kv = 2 * 2 * hb * cs * d * itemsize
+            scales = 2 * 2 * hb * cs * 4
+            qo = 2 * 2 * hb * rep * d * 4
+            tmp = 6 * max(rep, 8) * cs * 4
+            if kv + scales + qo + tmp <= 14e6:
+                return hb, cs
+            break                       # smaller cs won't help this hb much
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret"))
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     kv_valid: jax.Array, *, scale: float,
+                     kv_valid: jax.Array,
+                     k_scale: Optional[jax.Array] = None,
+                     v_scale: Optional[jax.Array] = None, *, scale: float,
                      interpret: bool = False) -> jax.Array:
-    """q [B, 1, H, D] (already roped); k/v [B, S, H, D] cache contents;
-    kv_valid [B, S] (1 = attend, includes the current slot). → [B,1,H,D].
-    """
+    """q [B, 1, H, D] (already roped); k/v [B, Hkv, S, D] head-major cache
+    planes (bf16, or int8 with k_scale/v_scale [B, Hkv, S]); kv_valid
+    [B, S] (1 = attend, includes the current slot). → [B, 1, H, D]."""
     b, _, h, d = q.shape
-    s = k.shape[1]
-    cs = _chunk(s, h * d)
-    mask = kv_valid.astype(jnp.float32)[:, :, None]
-    eye = jnp.kron(jnp.eye(h, dtype=jnp.float32),
-                   jnp.ones((1, d), jnp.float32)).astype(jnp.bfloat16)
-    return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        grid=(b, s // cs),
-        in_specs=[pl.BlockSpec((1, 1, h, d), lambda i, c: (i, 0, 0, 0)),
-                  pl.BlockSpec((1, cs, h, d), lambda i, c: (i, c, 0, 0)),
-                  pl.BlockSpec((1, cs, h, d), lambda i, c: (i, c, 0, 0)),
-                  pl.BlockSpec((1, cs, 1), lambda i, c: (i, c, 0)),
-                  pl.BlockSpec((h, h * d), lambda i, c: (0, 0)),
-                  pl.BlockSpec((h * d, h), lambda i, c: (0, 0))],
-        out_specs=pl.BlockSpec((1, 1, h, d), lambda i, c: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((1, h * d), jnp.float32),
-                        pltpu.VMEM((1, h), jnp.float32),
-                        pltpu.VMEM((1, h), jnp.float32)],
+    hkv, s = k.shape[1], k.shape[2]
+    rep = h // hkv
+    plan = _plan(hkv, rep, s, d, k.dtype.itemsize)
+    assert plan is not None, "decode_attention: no (hb, cs) fits VMEM"
+    hb, cs = plan
+    quant = k_scale is not None
+
+    qg = q.reshape(b, hkv, rep, d)                 # free: Sq == 1
+    mask = kv_valid.astype(jnp.float32).reshape(b, 1, s)
+
+    grid = (b, hkv // hb, s // cs)
+    in_specs = [
+        pl.BlockSpec((1, hb, rep, d), lambda i, g, c: (i, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, cs, d), lambda i, g, c: (i, g, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, cs, d), lambda i, g, c: (i, g, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cs), lambda i, g, c: (i, 0, c),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qg, k, v, mask]
+    if quant:
+        in_specs += [pl.BlockSpec((1, hb, cs), lambda i, g, c: (i, g, c),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, hb=hb, rep=rep,
+                          quant=quant),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hb, rep, d), lambda i, g, c: (i, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((hb * rep, d), jnp.float32),
+                        pltpu.VMEM((hb * rep, 128), jnp.float32),
+                        pltpu.VMEM((hb * rep, 128), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, mask, eye, eye.T)
+    )(*args)
+    return out.reshape(b, 1, h, d)
 
 
-def _chunk(s: int, hd: int) -> int:
-    """Largest sublane-aligned cache chunk that tiles S exactly and keeps
-    the double-buffered k/v tiles plus fp32 working values within the
-    scoped-VMEM budget (~16 bytes/element of chunk)."""
-    cap = max(8, min(256, (8 * 1024 * 1024) // (hd * 16) // 8 * 8))
-    return max((c for c in range(8, min(cap, s) + 1, 8) if s % c == 0),
-               default=s)
-
-
-def decode_attention_fits(q_shape, k_shape, itemsize: int) -> bool:
-    """Tiling + VMEM feasibility. The chunked running softmax keeps VMEM
-    bounded by the chunk, so any sublane-tileable S fits; head width must
-    be lane-aligned and per-chunk fp32 working values must be modest."""
-    b, sq, h, d = q_shape
-    s = k_shape[1]
-    if sq != 1 or s % 8 or d % 128:
+def decode_attention_fits(b: int, h: int, hkv: int, s: int, d: int,
+                          itemsize: int) -> bool:
+    """Tiling + VMEM feasibility for the head-major decode kernel."""
+    if d % 128 or s % 8 or h % hkv:
         return False
-    # Past ~1k slots the XLA einsum chain wins on this target: the
-    # kernel's sub-MB per-chunk DMAs sustain only ~170 GB/s vs XLA's
-    # ~700 (measured 59 vs 89 tok/s at 2k ctx), so route long caches
-    # to XLA even though the running softmax handles any length.
-    if s > 1024:
-        return False
-    cs = _chunk(s, h * d)
-    # k/v chunk blocks (double-buffered) + fp32 flat working values
-    return cs * h * d * 16 < 12 * 1024 * 1024
+    return _plan(hkv, h // hkv, s, d, itemsize) is not None

@@ -93,7 +93,7 @@ def pipeline_llama_hidden(params: dict, cfg, inputs_embeds: jax.Array,
     def stage(p_slab, m):
         def layer_body(h, p):
             h, _ = llama._layer(p, cfg, h, tables, m["pos"],
-                                lambda k, v: (k, v, 0.0), m["mask"], True)
+                                lambda k, v: ((k, v), 0.0), m["mask"], True)
             return h, None
 
         x, _ = jax.lax.scan(layer_body, m["x"], p_slab)

@@ -238,35 +238,61 @@ def test_mha_bhsd_matches_xla(s, h, d):
 
 
 def test_decode_attention_matches_xla():
-    """Single-query (decode) pallas kernel ≡ XLA attention with kv_valid."""
+    """Single-query (decode) pallas kernel on the head-major cache ≡ XLA
+    attention with kv_valid — MHA and GQA, short and multi-chunk."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from emu_tpu.ops.attention import _xla_attention
     from emu_tpu.ops.decode_attention import decode_attention
-    ks = iter(jax.random.split(jax.random.PRNGKey(40), 4))
-    b, s, h, d = 3, 40, 5, 128
-    q = jax.random.normal(next(ks), (b, 1, h, d))
-    k = jax.random.normal(next(ks), (b, s, h, d))
-    v = jax.random.normal(next(ks), (b, s, h, d))
-    # validity: per-row prefix of slots, including some fully-short rows
-    lens = jnp.array([s, 17, 5])
-    valid = (jnp.arange(s)[None, :] < lens[:, None]).astype(jnp.int32)
-    scale = d ** -0.5
-    ref = np.asarray(_xla_attention(q, k, v, None, None, valid, scale,
-                                    False))
-    out = np.asarray(decode_attention(q, k, v, valid, scale=scale,
-                                      interpret=True))
-    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
-    # long cache: multiple chunks through the running softmax
-    s2 = 512
-    k2 = jax.random.normal(jax.random.PRNGKey(50), (b, s2, h, d))
-    v2 = jax.random.normal(jax.random.PRNGKey(51), (b, s2, h, d))
-    lens2 = jnp.array([s2, 300, 17])
-    valid2 = (jnp.arange(s2)[None, :] < lens2[:, None]).astype(jnp.int32)
-    ref2 = np.asarray(_xla_attention(q, k2, v2, None, None, valid2, scale,
-                                     False))
-    out2 = np.asarray(decode_attention(q, k2, v2, valid2, scale=scale,
-                                       interpret=True))
-    np.testing.assert_allclose(out2, ref2, rtol=2e-5, atol=2e-5)
+    def check(b, s, h, hkv, d, lens, seed):
+        ks = iter(jax.random.split(jax.random.PRNGKey(seed), 4))
+        q = jax.random.normal(next(ks), (b, 1, h, d))
+        k = jax.random.normal(next(ks), (b, hkv, s, d))   # head-major
+        v = jax.random.normal(next(ks), (b, hkv, s, d))
+        valid = (jnp.arange(s)[None, :]
+                 < jnp.asarray(lens)[:, None]).astype(jnp.int32)
+        scale = d ** -0.5
+        # oracle: token-major repeat-to-full-heads XLA path
+        rep = h // hkv
+        k_t = jnp.repeat(k.transpose(0, 2, 1, 3), rep, axis=2)
+        v_t = jnp.repeat(v.transpose(0, 2, 1, 3), rep, axis=2)
+        ref = np.asarray(_xla_attention(q, k_t, v_t, None, None, valid,
+                                        scale, False))
+        out = np.asarray(decode_attention(q, k, v, valid, scale=scale,
+                                          interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    check(3, 40, 5, 5, 128, [40, 17, 5], 40)       # MHA, one chunk
+    check(3, 512, 4, 4, 128, [512, 300, 17], 50)   # MHA, multi-chunk
+    check(2, 256, 8, 2, 128, [256, 100], 60)       # GQA rep=4
+
+
+def test_decode_attention_int8_native():
+    """int8 cache planes consumed natively (scales folded in-kernel)
+    track the dequantize-then-attend oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.models.llama import kv_quantize
+    from emu_tpu.ops.attention import _xla_attention
+    from emu_tpu.ops.decode_attention import decode_attention
+    ks = iter(jax.random.split(jax.random.PRNGKey(70), 3))
+    b, s, h, d = 2, 128, 4, 128
+    q = jax.random.normal(next(ks), (b, 1, h, d))
+    k = jax.random.normal(next(ks), (b, h, s, d))
+    v = jax.random.normal(next(ks), (b, h, s, d))
+    kq, kscale = kv_quantize(k)
+    vq, vscale = kv_quantize(v)
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray([s, 70])[:, None]).astype(jnp.int32)
+    scale = d ** -0.5
+    k_deq = (kq.astype(jnp.float32) * kscale[..., None]).transpose(0, 2, 1, 3)
+    v_deq = (vq.astype(jnp.float32) * vscale[..., None]).transpose(0, 2, 1, 3)
+    ref = np.asarray(_xla_attention(q, k_deq, v_deq, None, None, valid,
+                                    scale, False))
+    out = np.asarray(decode_attention(q, kq, vq, valid, k_scale=kscale,
+                                      v_scale=vscale, scale=scale,
+                                      interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -107,7 +107,7 @@ def test_gqa_cached_decode_matches_full_forward(setup):
     full_logits = np.asarray(llama.logits(params, hidden_full))
 
     cache = llama.init_cache(CFG, 1, 8, dtype=jnp.float32)
-    assert cache["k"].shape[3] == CFG.num_key_value_heads
+    assert cache["k"].shape[2] == CFG.num_key_value_heads
     h5, cache = llama.prefill(params, CFG, embeds[:, :5], mask[:, :5], cache)
     sm = (jnp.arange(8) <= 5)[None]
     h6, _ = llama.decode_step(params, CFG, cache, embeds[:, 5:6],
