@@ -88,8 +88,8 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     page_ix = table[bidx, slots // page]                 # [B] physical page
     off = slots % page
     max_pos = cache["page_table"].shape[1] * page
-    tables = rope_tables(cfg, max_pos)
-    pos = positions[:, None]
+    from emu_tpu.ops import rope as R
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_pos), positions[:, None])
     cache_dtype = cache["k"].dtype
 
     k_view, v_view = _gather_slot_kv(cache)
@@ -108,7 +108,7 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
             return ((k_full.astype(x.dtype), v_full.astype(x.dtype)),
                     (k_cache, v_cache))
 
-        x, cache_out = _layer(p, cfg, x, tables, pos, write, slot_mask,
+        x, cache_out = _layer(p, cfg, x, rows, write, slot_mask,
                               False)
         return x, cache_out
 

@@ -142,9 +142,11 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(b, s, n_heads, head_dim)
 
 
-def _qkv(p, cfg: LlamaConfig, x, tables, positions):
+def _qkv(p, cfg: LlamaConfig, x, rope_rows):
     """Project x → roped (q, k_new, v_new). One matmul on the fused
-    `qkv_proj` layout (see fuse_projections), three on the HF layout."""
+    `qkv_proj` layout (see fuse_projections), three on the HF layout.
+    rope_rows: pre-gathered (cos, sin) rows [B, S, 1, D] — the gather is
+    hoisted out of the layer scan by the caller (R.gather_rope_rows)."""
     h, hd = cfg.num_attention_heads, cfg.head_dim
     hkv = cfg.kv_heads
     if "qkv_proj" in p:
@@ -157,8 +159,7 @@ def _qkv(p, cfg: LlamaConfig, x, tables, positions):
     q = _split_heads(q, h, hd)
     k = _split_heads(k, hkv, hd)
     v = _split_heads(v, hkv, hd)
-    cos, sin = tables
-    q, k = R.apply_llama_rope(q, k, cos, sin, positions)
+    q, k = R.apply_rope_rows(q, k, *rope_rows)
     return q, k, v
 
 
@@ -184,13 +185,14 @@ def _attn(p, cfg: LlamaConfig, q, kv, kv_valid, causal, mask=None):
     return L.dense(p["o_proj"], o.reshape(b, s, h * hd))
 
 
-def _layer(p, cfg, x, tables, positions, new_kv_fn, kv_valid, causal,
+def _layer(p, cfg, x, rope_rows, new_kv_fn, kv_valid, causal,
            mask=None):
     """One decoder layer; `new_kv_fn(k_new, v_new) -> (kv, updated_cache)`
     lets prefill/decode share this body — kv is a (k, v) pair (current
-    chunk) or a _cache_kv dict (cache-resident decode)."""
+    chunk) or a _cache_kv dict (cache-resident decode). rope_rows:
+    pre-gathered (cos, sin) rows, hoisted out of the layer scan."""
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
-    q, k_new, v_new = _qkv(p["self_attn"], cfg, h, tables, positions)
+    q, k_new, v_new = _qkv(p["self_attn"], cfg, h, rope_rows)
     kv, cache_out = new_kv_fn(k_new, v_new)
     x = x + _attn(p["self_attn"], cfg, q, kv, kv_valid, causal, mask)
     from emu_tpu.ops.q4_matmul import fused_swiglu_q4, swiglu_q4_plan
@@ -225,11 +227,11 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     +10% train step over full remat at the 13B shapes).
     """
     b, s, _ = inputs_embeds.shape
-    tables = rope_tables(cfg, s)
     positions = _positions_from_mask(attention_mask)
+    rows = R.gather_rope_rows(*rope_tables(cfg, s), positions)
 
     def body(x, p):
-        x, _ = _layer(p, cfg, x, tables, positions,
+        x, _ = _layer(p, cfg, x, rows,
                       lambda k, v: ((k, v), 0.0), attention_mask, True)
         return x, None
 
@@ -350,8 +352,8 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     """
     b, s, _ = inputs_embeds.shape
     max_len = cache["k"].shape[3]
-    tables = rope_tables(cfg, max_len)
     positions = _positions_from_mask(attention_mask)
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len), positions)
 
     def body(carry, xs):
         x, c = carry
@@ -363,7 +365,7 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
             c_out.update(_cache_write(c, "v", v_new, i, 0))
             return (k_new, v_new), c_out
 
-        x, c = _layer(p, cfg, x, tables, positions, write,
+        x, c = _layer(p, cfg, x, rows, write,
                       attention_mask, True)
         return (x, c), None
 
@@ -387,8 +389,8 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     """
     b = token_embeds.shape[0]
     max_len = cache["k"].shape[3]
-    tables = rope_tables(cfg, max_len)
-    pos = positions[:, None]                       # [B, 1]
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
+                              positions[:, None])
 
     def body(carry, xs):
         x, c = carry
@@ -400,7 +402,7 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
             c_out.update(_cache_write(c, "v", v_new, i, slot))
             return _cache_kv(c_out, i, x.dtype), c_out
 
-        x, c = _layer(p, cfg, x, tables, pos, write, slot_mask, False)
+        x, c = _layer(p, cfg, x, rows, write, slot_mask, False)
         return (x, c), None
 
     (x, cache), _ = jax.lax.scan(
@@ -425,7 +427,7 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
     [B, q, D], cache)."""
     b, qn, _ = token_embeds.shape
     max_len = cache["k"].shape[3]
-    tables = rope_tables(cfg, max_len)
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len), positions)
     j = jnp.arange(max_len)[None, None, None, :]          # [1,1,1,Skv]
     i = jnp.arange(qn)[None, None, :, None]               # [1,1,q,1]
     mask = (j < valid_len[:, None, None, None]) | (
@@ -441,7 +443,7 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
             c_out.update(_cache_write(c, "v", v_new, i, slot))
             return _cache_kv(c_out, i, x.dtype), c_out
 
-        x, c = _layer(p, cfg, x, tables, positions, write, None,
+        x, c = _layer(p, cfg, x, rows, write, None,
                       False, mask)
         return (x, c), None
 
@@ -464,8 +466,8 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
     row's own new slot. Returns (post-norm hidden [B, 1, D], cache)."""
     b = token_embeds.shape[0]
     max_len = cache["k"].shape[3]
-    tables = rope_tables(cfg, max_len)
-    pos = positions[:, None]                       # [B, 1]
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
+                              positions[:, None])
     bidx = jnp.arange(b)
 
     def body(carry, xs):
@@ -478,7 +480,7 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
             c_out.update(_cache_write(c, "v", v_new, i, (bidx, slots)))
             return _cache_kv(c_out, i, x.dtype), c_out
 
-        x, c = _layer(p, cfg, x, tables, pos, write, slot_mask, False)
+        x, c = _layer(p, cfg, x, rows, write, slot_mask, False)
         return (x, c), None
 
     (x, cache), _ = jax.lax.scan(

@@ -38,20 +38,37 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x[..., d2:], x[..., :d2]], axis=-1)
 
 
-def apply_llama_rope(q: jax.Array, k: jax.Array, cos: jax.Array,
-                     sin: jax.Array, positions: jax.Array
+def gather_rope_rows(cos: jax.Array, sin: jax.Array, positions: jax.Array
                      ) -> Tuple[jax.Array, jax.Array]:
-    """Apply RoPE. q/k: [B, S, H, D]; positions: [B, S] absolute indices.
+    """Pre-gather per-position rope rows → ([B, S, 1, D], [B, S, 1, D]) fp32.
 
-    Rotation runs in fp32 and casts back — bf16 cos/sin tables measurably
-    drift logits over 2k positions.
-    """
+    Split out of apply_llama_rope so decoder layers can HOIST the gather
+    out of the layer scan: the rows are identical for every layer, and on
+    the dispatch-latency-bound decode path the per-layer table gathers
+    were ~6 extra op launches per layer per step."""
     c = cos[positions][:, :, None, :].astype(jnp.float32)  # [B, S, 1, D]
     s = sin[positions][:, :, None, :].astype(jnp.float32)
+    return c, s
+
+
+def apply_rope_rows(q: jax.Array, k: jax.Array, c: jax.Array, s: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Apply RoPE from pre-gathered rows (see gather_rope_rows).
+
+    Rotation runs in fp32 and casts back — bf16 cos/sin tables measurably
+    drift logits over 2k positions."""
     qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
     q_out = qf * c + _rotate_half(qf) * s
     k_out = kf * c + _rotate_half(kf) * s
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def apply_llama_rope(q: jax.Array, k: jax.Array, cos: jax.Array,
+                     sin: jax.Array, positions: jax.Array
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Apply RoPE. q/k: [B, S, H, D]; positions: [B, S] absolute indices."""
+    c, s = gather_rope_rows(cos, sin, positions)
+    return apply_rope_rows(q, k, c, s)
 
 
 # ---------------------------------------------------------------------------

@@ -84,7 +84,8 @@ def pipeline_llama_hidden(params: dict, cfg, inputs_embeds: jax.Array,
     b, s, _ = inputs_embeds.shape
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
-    tables = llama.rope_tables(cfg, s)
+    from emu_tpu.ops import rope as R
+    cos, sin = llama.rope_tables(cfg, s)
     positions = llama._positions_from_mask(attention_mask)
     micro = {"x": inputs_embeds.reshape(n_micro, mb, s, -1),
              "pos": positions.reshape(n_micro, mb, s),
@@ -92,7 +93,8 @@ def pipeline_llama_hidden(params: dict, cfg, inputs_embeds: jax.Array,
 
     def stage(p_slab, m):
         def layer_body(h, p):
-            h, _ = llama._layer(p, cfg, h, tables, m["pos"],
+            rows = R.gather_rope_rows(cos, sin, m["pos"])
+            h, _ = llama._layer(p, cfg, h, rows,
                                 lambda k, v: ((k, v), 0.0), m["mask"], True)
             return h, None
 
