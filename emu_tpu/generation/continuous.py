@@ -59,6 +59,8 @@ class ContinuousEngine:
                  eos_token_id: Optional[int] = 2, temperature: float = 0.0,
                  cache_dtype=None, seed: int = 0):
         self.params, self.cfg = params, cfg
+        # 8-multiple capacity keeps the Pallas decode kernel eligible
+        max_len = -(-max_len // 8) * 8
         self.max_slots, self.max_len = max_slots, max_len
         self.buckets = tuple(sorted(b for b in prefill_buckets
                                     if b <= max_len))

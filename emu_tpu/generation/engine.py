@@ -299,7 +299,8 @@ def _contrastive_search(params, cfg, inputs_embeds, attention_mask,
     k = gcfg.top_k
     alpha = jnp.float32(gcfg.penalty_alpha)
     t_max = gcfg.max_new_tokens
-    total = s + t_max
+    total = -(-(s + t_max) // 8) * 8         # see generate(): kernel-legal
+
 
     cache = llama.init_cache(cfg, b, total, dtype=inputs_embeds.dtype,
                              quant=gcfg.kv_cache_quant)
@@ -397,7 +398,10 @@ def generate(prefill_fn, step_fn, inputs_embeds, attention_mask,
     [B, num_return_sequences, max_new] (+ scores) for beams.
     """
     b, s, _ = inputs_embeds.shape
-    total = s + gcfg.max_new_tokens
+    # cache capacity rounds up to a multiple of 8 (the Pallas decode
+    # kernel's chunk sublane rule); the surplus slots stay masked
+    # invalid forever
+    total = -(-(s + gcfg.max_new_tokens) // 8) * 8
     assert gcfg.num_return_sequences <= max(gcfg.num_beams, 1), \
         "num_return_sequences must be <= num_beams (tile the batch to " \
         "draw multiple samples without beams)"

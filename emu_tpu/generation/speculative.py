@@ -38,7 +38,7 @@ from emu_tpu.models import llama
 def _spec_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, max_new: int,
               k: int, eos: int):
     s = prompt_ids.shape[0]
-    max_len = s + max_new + k + 2
+    max_len = -(-(s + max_new + k + 2) // 8) * 8       # kernel-legal
     ids = prompt_ids[None]
     mask = jnp.ones((1, s), jnp.int32)
 

@@ -107,7 +107,7 @@ def generate_image_embeds(params: dict, cfg: Emu1Config,
     b, s = token_ids.shape
     d = cfg.llama.hidden_size
     n = cfg.n_causal
-    total = s + n - 1
+    total = -(-(s + n - 1) // 8) * 8       # kernel-legal cache capacity
     embeds = scatter_image_embeds(params, token_ids, prompt_image_embeds,
                                   image_token_id)
     cache = llama.init_cache(cfg.llama, b, total, dtype=embeds.dtype)

@@ -101,7 +101,7 @@ def generate_image_embeds(params: dict, cfg: Emu2Config,
     """
     b, s = token_ids.shape
     n = cfg.n_query
-    total = s + n - 1
+    total = -(-(s + n - 1) // 8) * 8       # kernel-legal cache capacity
     embeds = scatter_embeds(params, token_ids, prompt_image_embeds,
                             image_token_id)
     cache = llama.init_cache(cfg.llama, b, total, dtype=embeds.dtype)

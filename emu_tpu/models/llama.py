@@ -298,15 +298,19 @@ def kv_quantize(x: jax.Array):
 
 
 def _cache_kv(c: dict, layer, dtype) -> dict:
-    """Layer `layer`'s cache planes for the attention dispatcher: raw
-    int8 + scales when quantized (the decode kernel consumes them
-    natively), bf16 otherwise. format "bhsd" = head-major."""
-    sl = lambda key: jax.lax.dynamic_index_in_dim(c[key], layer, 0,
-                                                  keepdims=False)
-    kv = {"format": "bhsd", "k": sl("k"), "v": sl("v"), "dtype": dtype}
+    """Layer `layer`'s cache view for the attention dispatcher: the FULL
+    stacked planes [L, B, Hkv, S, D] plus the (traced) layer index — the
+    decode kernel slices the layer inside its index_map via scalar
+    prefetch, so no per-layer [B, Hkv, S, D] copy is materialized (XLA
+    cannot fuse a dynamic-slice into a pallas_call operand; the slices
+    were 2×25 MB of copy traffic per layer per step at 13B/2k). Raw
+    int8 + scales when quantized (consumed natively in-kernel), bf16
+    otherwise. format "bhsd" = head-major."""
+    kv = {"format": "bhsd", "k": c["k"], "v": c["v"], "layer": layer,
+          "dtype": dtype}
     if "k_scale" in c:
-        kv["k_scale"] = sl("k_scale")
-        kv["v_scale"] = sl("v_scale")
+        kv["k_scale"] = c["k_scale"]
+        kv["v_scale"] = c["v_scale"]
     return kv
 
 

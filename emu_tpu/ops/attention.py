@@ -161,10 +161,16 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
     token) scales. Single-query steps route to the Pallas decode kernel
     (which consumes int8 natively — scales fold into the score/PV
     epilogue, no dequantized HBM copy); other shapes dequantize and run
-    the head-major XLA einsum chain."""
+    the head-major XLA einsum chain.
+
+    When kv carries a "layer" index the k/v planes are the FULL stacked
+    cache [L, B, Hkv, S, D]: the kernel path threads the index through
+    scalar prefetch (no per-layer slice is materialized); the XLA path
+    slices here."""
     k, v = kv["k"], kv["v"]
     dt = kv.get("dtype", q.dtype)
     ks, vs = kv.get("k_scale"), kv.get("v_scale")
+    layer = kv.get("layer")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if (q.shape[1] == 1 and mask is None and not causal
@@ -173,11 +179,18 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
             and os.environ.get("EMU_TPU_DECODE_KERNEL", "1") != "0"):
         from emu_tpu.ops.decode_attention import (decode_attention,
                                                   decode_attention_fits)
-        if decode_attention_fits(q.shape[0], q.shape[2], k.shape[1],
-                                 k.shape[2], k.shape[3],
+        if decode_attention_fits(q.shape[0], q.shape[2], k.shape[-3],
+                                 k.shape[-2], k.shape[-1],
                                  k.dtype.itemsize):
             return decode_attention(q, k, v, kv_valid, k_scale=ks,
-                                    v_scale=vs, scale=float(scale))
+                                    v_scale=vs, scale=float(scale),
+                                    layer=layer)
+    if layer is not None:
+        sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0,
+                                                    keepdims=False)
+        k, v = sl(k), sl(v)
+        if ks is not None:
+            ks, vs = sl(ks), sl(vs)
     if ks is not None:
         k = k.astype(dt) * ks.astype(dt)[..., None]
         v = v.astype(dt) * vs.astype(dt)[..., None]

@@ -35,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep, quant):
+def _kernel(l_ref, q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep,
+            quant):
+    del l_ref                # scalar-prefetch layer index: index_maps only
     if quant:
         ks_ref, vs_ref, o_ref, acc, mx, lse = rest
     else:
@@ -50,7 +52,12 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep, quant):
         mx[:] = jnp.full_like(mx, _NEG_INF)
         lse[:] = jnp.zeros_like(lse)
 
-    valid = m_ref[0]                                   # [1, cs]
+    # mask/scales ride as WHOLE [.., nc, cs] rows (resident across the
+    # chunk loop — their index_maps are constant in c) and the current
+    # chunk is sliced here: keeps their lane dim Mosaic-legal (== array
+    # dim) for any cs, unlike per-chunk (1, cs) blocks which need
+    # cs % 128 == 0
+    valid = m_ref[0, pl.ds(c, 1)]                      # [1, cs]
     for hh in range(hb):                               # static head unroll
         rows = slice(hh * rep, (hh + 1) * rep)
         q = q_ref[0, hh]                               # [rep, D]
@@ -60,7 +67,7 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep, quant):
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if ks_ref is not None:                         # fold int8 scale
-            s = s * ks_ref[0, hh:hh + 1, :]
+            s = s * ks_ref[0, hh, pl.ds(c, 1)]
         s = s * scale
         s = jnp.where(valid > 0, s, _NEG_INF)          # [rep, cs]
 
@@ -74,7 +81,7 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep, quant):
         mx[rows] = jnp.broadcast_to(m_new, (rep, mx.shape[1]))
 
         if vs_ref is not None:                         # fold int8 scale
-            p = p * vs_ref[0, hh:hh + 1, :]
+            p = p * vs_ref[0, hh, pl.ds(c, 1)]
         v = v_ref[0, hh]
         if v.dtype != q.dtype:
             v = v.astype(q.dtype)
@@ -92,14 +99,17 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep, quant):
 
 
 def _plan(hkv: int, rep: int, s: int, d: int, itemsize: int):
-    """(hb, cs) or None. Budget: double-buffered k/v blocks + scale rows
-    + q/out + ~6 fp32 temps per in-flight [rep, cs] tile."""
+    """(hb, cs) or None. Budget: double-buffered k/v blocks + whole-row
+    resident mask/scales + q/out + ~6 fp32 temps per in-flight [rep, cs]
+    tile. cs needs only 8-alignment (the k/v block sublane dim) — the
+    mask/scale rows stay whole in VMEM so their lane dims are always
+    Mosaic-legal."""
     for hb in [h for h in range(hkv, 0, -1) if hkv % h == 0]:
         for cs in range(min(s, 512), 7, -8):
             if s % cs:
                 continue
             kv = 2 * 2 * hb * cs * d * itemsize
-            scales = 2 * 2 * hb * cs * 4
+            scales = 2 * hb * s * 4 + s * 4
             qo = 2 * 2 * hb * rep * d * 4
             tmp = 6 * max(rep, 8) * cs * 4
             if kv + scales + qo + tmp <= 14e6:
@@ -114,51 +124,75 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      kv_valid: jax.Array,
                      k_scale: Optional[jax.Array] = None,
                      v_scale: Optional[jax.Array] = None, *, scale: float,
+                     layer: Optional[jax.Array] = None,
                      interpret: bool = False) -> jax.Array:
-    """q [B, 1, H, D] (already roped); k/v [B, Hkv, S, D] head-major cache
-    planes (bf16, or int8 with k_scale/v_scale [B, Hkv, S]); kv_valid
-    [B, S] (1 = attend, includes the current slot). → [B, 1, H, D]."""
+    """q [B, 1, H, D] (already roped); k/v head-major cache planes
+    [B, Hkv, S, D] (bf16, or int8 with k_scale/v_scale [B, Hkv, S]);
+    kv_valid [B, S] (1 = attend, includes the current slot). → [B, 1, H, D].
+
+    layer (traced scalar) selects a layer of a STACKED cache
+    [L, B, Hkv, S, D]: the index rides scalar prefetch and the kernel's
+    index_maps DMA blocks of layer `layer` straight out of the full HBM
+    cache — no [B, Hkv, S, D] slice is ever materialized. Inside the
+    decoder's layer scan that slice was 2×25 MB of pure copy traffic per
+    layer per step (the single largest decode dispatch cost)."""
     b, _, h, d = q.shape
-    hkv, s = k.shape[1], k.shape[2]
+    if layer is None:
+        k, v = k[None], v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = 0
+    hkv, s = k.shape[2], k.shape[3]
     rep = h // hkv
     plan = _plan(hkv, rep, s, d, k.dtype.itemsize)
     assert plan is not None, "decode_attention: no (hb, cs) fits VMEM"
     hb, cs = plan
     quant = k_scale is not None
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    nc = s // cs
 
     qg = q.reshape(b, hkv, rep, d)                 # free: Sq == 1
-    mask = kv_valid.astype(jnp.float32).reshape(b, 1, s)
+    mask = kv_valid.astype(jnp.float32).reshape(b, nc, cs)
 
-    grid = (b, hkv // hb, s // cs)
+    grid = (b, hkv // hb, nc)
+    kv_map = lambda i, g, c, l: (l[0], i, g, c, 0)
     in_specs = [
-        pl.BlockSpec((1, hb, rep, d), lambda i, g, c: (i, g, 0, 0),
+        pl.BlockSpec((1, hb, rep, d), lambda i, g, c, l: (i, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hb, cs, d), lambda i, g, c: (i, g, c, 0),
+        pl.BlockSpec((None, 1, hb, cs, d), kv_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hb, cs, d), lambda i, g, c: (i, g, c, 0),
+        pl.BlockSpec((None, 1, hb, cs, d), kv_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cs), lambda i, g, c: (i, 0, c),
+        # mask/scales: whole [nc, cs] rows, constant in c → stay resident
+        # across the chunk loop; the kernel slices chunk c itself
+        pl.BlockSpec((1, nc, cs), lambda i, g, c, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qg, k, v, mask]
     if quant:
-        in_specs += [pl.BlockSpec((1, hb, cs), lambda i, g, c: (i, g, c),
+        l_, b_, hkv_, _ = k_scale.shape
+        in_specs += [pl.BlockSpec((None, 1, hb, nc, cs),
+                                  lambda i, g, c, l: (l[0], i, g, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
-        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        args += [k_scale.astype(jnp.float32).reshape(l_, b_, hkv_, nc, cs),
+                 v_scale.astype(jnp.float32).reshape(l_, b_, hkv_, nc, cs)]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, hb=hb, rep=rep,
                           quant=quant),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hb, rep, d), lambda i, g, c: (i, g, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, hb, rep, d),
+                                   lambda i, g, c, l: (i, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((hb * rep, d), jnp.float32),
+                            pltpu.VMEM((hb * rep, 128), jnp.float32),
+                            pltpu.VMEM((hb * rep, 128), jnp.float32)]),
         out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((hb * rep, d), jnp.float32),
-                        pltpu.VMEM((hb * rep, 128), jnp.float32),
-                        pltpu.VMEM((hb * rep, 128), jnp.float32)],
         interpret=interpret,
-    )(*args)
+    )(lidx, *args)
     return out.reshape(b, 1, h, d)
 
 

@@ -41,15 +41,23 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
     """y = x @ W (+ b). Accumulates in fp32 on the MXU.
 
     Also consumes int8 weight-only-quantized params
-    ({"kernel_q8", "scale"}, see emu_tpu.ops.quant) — the dequantize fuses
-    into the matmul's operand load under XLA."""
+    ({"kernel_q8", "scale"}, see emu_tpu.ops.quant): the per-output-channel
+    scale commutes with the contraction, so it applies AFTER the dot —
+    the operand is the bare int8→bf16 cast (exact: |v| ≤ 127) and the
+    rescale is an [.., out]-sized epilogue multiply in the fp32
+    accumulator instead of an [in, out]-sized dequant, with no
+    reliance on XLA fusing a multiply into the dot's operand load."""
     if "kernel_w8a8" in params:
         from emu_tpu.ops.quant import dense_w8a8
         return dense_w8a8(params, x)
     if "kernel_q8" in params:
-        w = (params["kernel_q8"].astype(x.dtype)
-             * params["scale"].astype(x.dtype)[..., None, :])
-    elif "kernel_q4" in params:
+        y = jnp.dot(x, params["kernel_q8"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = y * params["scale"].astype(jnp.float32)
+        if "bias" in params:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+    if "kernel_q4" in params:
         from emu_tpu.ops.q4_matmul import matmul_q4, q4_plan
         if q4_plan(params, x):
             return matmul_q4(x, params["kernel_q4"], params["scale4"],

@@ -269,6 +269,32 @@ def test_decode_attention_matches_xla():
     check(2, 256, 8, 2, 128, [256, 100], 60)       # GQA rep=4
 
 
+def test_decode_attention_stacked_layer():
+    """Stacked-cache mode: passing the full [L, B, Hkv, S, D] cache with a
+    traced layer index ≡ slicing the layer first (the index rides scalar
+    prefetch into the kernel's index_maps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.decode_attention import decode_attention
+
+    L, b, s, h, hkv, d = 3, 2, 64, 4, 2, 128
+    ks = iter(jax.random.split(jax.random.PRNGKey(80), 3))
+    q = jax.random.normal(next(ks), (b, 1, h, d))
+    k = jax.random.normal(next(ks), (L, b, hkv, s, d))
+    v = jax.random.normal(next(ks), (L, b, hkv, s, d))
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray([s, 37])[:, None]).astype(jnp.int32)
+    scale = d ** -0.5
+    for li in range(L):
+        ref = np.asarray(decode_attention(q, k[li], v[li], valid,
+                                          scale=scale, interpret=True))
+        out = np.asarray(decode_attention(q, k, v, valid, scale=scale,
+                                          layer=jnp.int32(li),
+                                          interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_decode_attention_int8_native():
     """int8 cache planes consumed natively (scales folded in-kernel)
     track the dequantize-then-attend oracle."""
