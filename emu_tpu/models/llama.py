@@ -326,11 +326,9 @@ def _cache_write(c: dict, key: str, new: jax.Array, layer, idx) -> dict:
     (continuous batching)."""
     out = {}
     if key + "_scale" in c:
-        vals, scale = kv_quantize(new)
-        scale = scale.transpose(0, 2, 1)                 # [B, Hkv, S_new]
+        vals, scale = kv_quantize(new.transpose(0, 2, 1, 3))
     else:
-        vals, scale = new.astype(c[key].dtype), None
-    vals = vals.transpose(0, 2, 1, 3)                    # [B, Hkv, S_new, D]
+        vals, scale = new.astype(c[key].dtype).transpose(0, 2, 1, 3), None
     if not isinstance(idx, tuple):
         out[key] = jax.lax.dynamic_update_slice(c[key], vals[None],
                                                 (layer, 0, 0, idx, 0))
@@ -343,6 +341,37 @@ def _cache_write(c: dict, key: str, new: jax.Array, layer, idx) -> dict:
         if scale is not None:
             out[key + "_scale"] = c[key + "_scale"].at[
                 layer, bidx, :, slots].set(scale[:, :, 0])
+    return out
+
+
+def _cache_write_both(c: dict, k_new: jax.Array, v_new: jax.Array, layer,
+                      idx) -> dict:
+    """_cache_write for the k AND v planes of one layer in one pass: the
+    new projections stack on a leading [2] axis so the int8 KV
+    quantization (abs-max/div/round/clip chain) runs ONCE over both —
+    on the dispatch-latency-bound decode path the per-plane chains were
+    ~7 extra op launches per layer per step."""
+    quant = "k_scale" in c
+    kv = jnp.stack([k_new.transpose(0, 2, 1, 3),
+                    v_new.transpose(0, 2, 1, 3)])   # [2, B, Hkv, S_new, D]
+    if quant:
+        vals, scale = kv_quantize(kv)               # scale [2, B, Hkv, S_new]
+    else:
+        vals, scale = kv.astype(c["k"].dtype), None
+    out = {}
+    for i, key in enumerate(("k", "v")):
+        if not isinstance(idx, tuple):
+            out[key] = jax.lax.dynamic_update_slice(
+                c[key], vals[i][None], (layer, 0, 0, idx, 0))
+            if scale is not None:
+                out[key + "_scale"] = jax.lax.dynamic_update_slice(
+                    c[key + "_scale"], scale[i][None], (layer, 0, 0, idx))
+        else:
+            bidx, slots = idx
+            out[key] = c[key].at[layer, bidx, :, slots].set(vals[i][:, :, 0])
+            if scale is not None:
+                out[key + "_scale"] = c[key + "_scale"].at[
+                    layer, bidx, :, slots].set(scale[i][:, :, 0])
     return out
 
 
@@ -365,8 +394,7 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, 0))
-            c_out.update(_cache_write(c, "v", v_new, i, 0))
+            c_out.update(_cache_write_both(c, k_new, v_new, i, 0))
             return (k_new, v_new), c_out
 
         x, c = _layer(p, cfg, x, rows, write,
@@ -402,8 +430,7 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, slot))
-            c_out.update(_cache_write(c, "v", v_new, i, slot))
+            c_out.update(_cache_write_both(c, k_new, v_new, i, slot))
             return _cache_kv(c_out, i, x.dtype), c_out
 
         x, c = _layer(p, cfg, x, rows, write, slot_mask, False)
@@ -443,8 +470,7 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, slot))
-            c_out.update(_cache_write(c, "v", v_new, i, slot))
+            c_out.update(_cache_write_both(c, k_new, v_new, i, slot))
             return _cache_kv(c_out, i, x.dtype), c_out
 
         x, c = _layer(p, cfg, x, rows, write, None,
@@ -480,8 +506,8 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
 
         def write(k_new, v_new):
             c_out = dict(c)
-            c_out.update(_cache_write(c, "k", k_new, i, (bidx, slots)))
-            c_out.update(_cache_write(c, "v", v_new, i, (bidx, slots)))
+            c_out.update(_cache_write_both(c, k_new, v_new, i,
+                                           (bidx, slots)))
             return _cache_kv(c_out, i, x.dtype), c_out
 
         x, c = _layer(p, cfg, x, rows, write, slot_mask, False)

@@ -58,44 +58,49 @@ def _kernel(l_ref, q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep,
     # dim) for any cs, unlike per-chunk (1, cs) blocks which need
     # cs % 128 == 0
     valid = m_ref[0, pl.ds(c, 1)]                      # [1, cs]
-    for hh in range(hb):                               # static head unroll
-        rows = slice(hh * rep, (hh + 1) * rep)
-        q = q_ref[0, hh]                               # [rep, D]
-        k = k_ref[0, hh]                               # [cs, D]
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        if ks_ref is not None:                         # fold int8 scale
-            s = s * ks_ref[0, hh, pl.ds(c, 1)]
-        s = s * scale
-        s = jnp.where(valid > 0, s, _NEG_INF)          # [rep, cs]
+    # ALL hb heads per op: the scores/PV dots run with hb as a dot batch
+    # dim, and every softmax-state update is one [hb*rep, cs] VPU tile.
+    # The old per-head unroll issued [rep, cs]-row VPU ops — at rep==1
+    # (MHA) that used 1 of 8 sublanes and its ~1 µs/head/chunk fixed cost
+    # dominated the kernel (measured 393 µs vs a 240 µs bf16 roofline at
+    # B=4/S=2048; int8 saw no bandwidth win at all).
+    q = q_ref[0]                                       # [hb, rep, D]
+    k = k_ref[0]                                       # [hb, cs, D]
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    if ks_ref is not None:                             # fold int8 scale
+        s = s * ks_ref[0, :, pl.ds(c, 1)]              # [hb, 1, cs]
+    s = s * scale
+    s = jnp.where(valid[None] > 0, s, _NEG_INF)        # [hb, rep, cs]
+    s2 = s.reshape(hb * rep, s.shape[-1])
 
-        m_old = mx[rows, :1]                           # [rep, 1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_old - m_new)
-        lse[rows] = jnp.broadcast_to(
-            lse[rows, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
-            (rep, lse.shape[1]))
-        mx[rows] = jnp.broadcast_to(m_new, (rep, mx.shape[1]))
+    m_old = mx[:, :1]                                  # [hb*rep, 1]
+    m_new = jnp.maximum(m_old, jnp.max(s2, axis=-1, keepdims=True))
+    p = jnp.exp(s2 - m_new)
+    corr = jnp.exp(m_old - m_new)
+    lse[:] = jnp.broadcast_to(
+        lse[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+        lse.shape)
+    mx[:] = jnp.broadcast_to(m_new, mx.shape)
 
-        if vs_ref is not None:                         # fold int8 scale
-            p = p * vs_ref[0, hh, pl.ds(c, 1)]
-        v = v_ref[0, hh]
-        if v.dtype != q.dtype:
-            v = v.astype(q.dtype)
-        pv = jax.lax.dot_general(p.astype(v.dtype), v,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc[rows] = acc[rows] * corr + pv
+    pb = p.reshape(hb, rep, -1)
+    if vs_ref is not None:                             # fold int8 scale
+        pb = pb * vs_ref[0, :, pl.ds(c, 1)]
+    v = v_ref[0]                                       # [hb, cs, D]
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
+    pv = jax.lax.dot_general(pb.astype(v.dtype), v,
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    acc[:] = acc[:] * corr + pv.reshape(hb * rep, -1)
 
     @pl.when(c == nc - 1)
     def _():
-        for hh in range(hb):
-            rows = slice(hh * rep, (hh + 1) * rep)
-            o_ref[0, hh] = (acc[rows] / (lse[rows, :1] + 1e-30)
-                            ).astype(o_ref.dtype)
+        o_ref[0] = (acc[:].reshape(hb, rep, -1)
+                    / (lse[:, :1].reshape(hb, rep, 1) + 1e-30)
+                    ).astype(o_ref.dtype)
 
 
 def _plan(hkv: int, rep: int, s: int, d: int, itemsize: int):

@@ -295,6 +295,41 @@ def test_decode_attention_stacked_layer():
         np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_decode_attention_stacked_int8_gqa():
+    """Stacked cache + int8 scales + GQA (rep > 1) through the batched
+    kernel ≡ per-layer dequantized XLA oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.models.llama import kv_quantize
+    from emu_tpu.ops.attention import _xla_attention
+    from emu_tpu.ops.decode_attention import decode_attention
+
+    L, b, s, h, hkv, d = 2, 2, 128, 8, 2, 128
+    ks = iter(jax.random.split(jax.random.PRNGKey(90), 3))
+    q = jax.random.normal(next(ks), (b, 1, h, d))
+    k = jax.random.normal(next(ks), (L, b, hkv, s, d))
+    v = jax.random.normal(next(ks), (L, b, hkv, s, d))
+    kq, kscale = kv_quantize(k)
+    vq, vscale = kv_quantize(v)
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray([s, 51])[:, None]).astype(jnp.int32)
+    scale = d ** -0.5
+    rep = h // hkv
+    for li in range(L):
+        k_deq = (kq[li].astype(jnp.float32) * kscale[li][..., None])
+        v_deq = (vq[li].astype(jnp.float32) * vscale[li][..., None])
+        k_t = jnp.repeat(k_deq.transpose(0, 2, 1, 3), rep, axis=2)
+        v_t = jnp.repeat(v_deq.transpose(0, 2, 1, 3), rep, axis=2)
+        ref = np.asarray(_xla_attention(q, k_t, v_t, None, None, valid,
+                                        scale, False))
+        out = np.asarray(decode_attention(q, kq, vq, valid,
+                                          k_scale=kscale, v_scale=vscale,
+                                          scale=scale, layer=jnp.int32(li),
+                                          interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_decode_attention_int8_native():
     """int8 cache planes consumed natively (scales folded in-kernel)
     track the dequantize-then-attend oracle."""
