@@ -334,6 +334,14 @@ def main():
                               quant="int4", prompt=1984, kv_quant=True,
                               params=p4),
             "tok/s/chip")
+        # 4k: where the int8 cache's halved HBM traffic dominates (decode
+        # kernel 408 vs 633 us/layer against bf16 KV at 4096 slots);
+        # int4 weights 6.7 GB + int8 KV 6.8 GB fit the 16 GB chip
+        run("llama-13B decode int4 full-depth 4k-ctx int8-KV b4",
+            functools.partial(bench_llama_decode, batch=4, layers=40,
+                              quant="int4", prompt=4032, kv_quant=True,
+                              params=p4),
+            "tok/s/chip")
         del p4
     except Exception as e:  # noqa: BLE001
         print(f"secondary int4 full-depth build failed: {e}",

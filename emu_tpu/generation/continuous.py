@@ -57,7 +57,8 @@ class ContinuousEngine:
     def __init__(self, params, cfg, *, max_slots: int = 8,
                  max_len: int = 512, prefill_buckets=(32, 64, 128, 256),
                  eos_token_id: Optional[int] = 2, temperature: float = 0.0,
-                 cache_dtype=None, seed: int = 0):
+                 cache_dtype=None, kv_cache_quant: bool = False,
+                 seed: int = 0):
         self.params, self.cfg = params, cfg
         # 8-multiple capacity keeps the Pallas decode kernel eligible
         max_len = -(-max_len // 8) * 8
@@ -74,7 +75,8 @@ class ContinuousEngine:
             cache_dtype = params["norm"].dtype
         self.state = {
             "cache": llama.init_cache(cfg, max_slots, max_len,
-                                      dtype=cache_dtype),
+                                      dtype=cache_dtype,
+                                      quant=kv_cache_quant),
             "slot_mask": jnp.zeros((max_slots, max_len), bool),
             "write_idx": jnp.zeros((max_slots,), jnp.int32),
             "position": jnp.zeros((max_slots,), jnp.int32),
@@ -122,7 +124,8 @@ class ContinuousEngine:
         cfg = self.cfg
         st = dict(state)
         small = llama.init_cache(cfg, 1, s_bucket,
-                                 dtype=st["cache"]["k"].dtype)
+                                 dtype=st["cache"]["k"].dtype,
+                                 quant="k_scale" in st["cache"])
         hidden, small = llama.prefill(params, cfg, embeds, mask, small)
         logits = llama.logits(params, hidden[:, -1])[0]
         if self.temperature > 0:
@@ -130,10 +133,13 @@ class ContinuousEngine:
                 rng, logits / self.temperature).astype(jnp.int32)
         else:
             first = jnp.argmax(logits).astype(jnp.int32)
+        # scale planes (int8 KV) merge alongside the value planes; the
+        # index tuple adapts to each plane's rank
         cache = {
             n: jax.lax.dynamic_update_slice(
-                st["cache"][n], small[n], (0, slot, 0, 0, 0))
-            for n in ("k", "v")}
+                st["cache"][n], small[n],
+                (0, slot) + (0,) * (st["cache"][n].ndim - 2))
+            for n in small}
         row_mask = jnp.zeros((self.max_len,), bool).at[:s_bucket].set(
             mask[0].astype(bool))
         alive = (first != self.eos) & (max_new > 1)

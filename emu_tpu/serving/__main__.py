@@ -41,6 +41,9 @@ def main():
                         "builds a 1-layer demo draft)")
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_len", type=int, default=512)
+    p.add_argument("--kv_quant", action="store_true",
+                   help="with --continuous: int8 KV cache (2x context "
+                        "capacity per chip)")
     p.add_argument("--tiny", action="store_true",
                    help="serve tiny random-weight pipelines")
     p.add_argument("--chat_ckpt", default=None)
@@ -90,7 +93,7 @@ def main():
                 draft = (_llama.init(jax.random.PRNGKey(7), dcfg), dcfg)
             chat_helper = ContinuousChatHelper(
                 build(0), max_slots=args.max_slots, max_len=args.max_len,
-                draft=draft)
+                draft=draft, kv_cache_quant=args.kv_quant)
         elif args.batching:
             from emu_tpu.serving.batching import BatchingChatHelper
             chat_helper = BatchingChatHelper(build(0))

@@ -86,3 +86,25 @@ def test_full_pool_raises():
         assert False, "expected ValueError when pool is full"
     except ValueError:
         pass
+
+
+def test_int8_kv_cache_matches():
+    """kv_cache_quant=True engine decodes the same greedy tokens as the
+    bf16-cache engine (int8 KV on a tiny model: quantization noise below
+    argmax ties), including the prefill small-cache scale-plane merge."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(1)
+    prompts = [list(rng.randint(1, 90, n)) for n in (7, 19)]
+
+    def run(quant):
+        eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                               prefill_buckets=(8, 32), eos_token_id=eos,
+                               kv_cache_quant=quant)
+        ids = [eng.submit(embeds_for(p),
+                          jnp.ones((1, len(p)), jnp.int32), 10)
+               for p in prompts]
+        res = eng.run_until_drained()
+        return [res[i] for i in ids]
+
+    assert run(False) == run(True)
