@@ -375,6 +375,44 @@ def _cache_write_both(c: dict, k_new: jax.Array, v_new: jax.Array, layer,
     return out
 
 
+def _cache_write_all(c: dict, new_rows: jax.Array, idx) -> dict:
+    """Write ONE new position for EVERY layer in one pass.
+
+    Deferred from the decode layer scan: the per-layer dynamic updates
+    were 2 (bf16) to 4 (int8+scales) extra op launches per layer per
+    step on the dispatch-latency-bound decode path (~20 µs each on the
+    tunneled backend); deferring batches them into one update per cache
+    plane, and the int8 quantization chain runs once over all layers.
+
+    new_rows: [L, 2, B, Hkv, 1, D] — k then v on axis 1, head-major.
+    idx: scalar slot start, or a (bidx, slots) pair for per-row scatter
+    (continuous batching)."""
+    kv = jnp.swapaxes(new_rows, 0, 1)            # [2, L, B, Hkv, 1, D]
+    if "k_scale" in c:
+        vals, scale = kv_quantize(kv)            # scale [2, L, B, Hkv, 1]
+    else:
+        vals, scale = kv.astype(c["k"].dtype), None
+    out = dict(c)
+    for t, key in enumerate(("k", "v")):
+        if not isinstance(idx, tuple):
+            out[key] = jax.lax.dynamic_update_slice(
+                c[key], vals[t], (0, 0, 0, idx, 0))
+            if scale is not None:
+                out[key + "_scale"] = jax.lax.dynamic_update_slice(
+                    c[key + "_scale"], scale[t], (0, 0, 0, idx))
+        else:
+            bidx, slots = idx
+            # advanced indices on dims 1 and 3 (split by a slice) move to
+            # the front: the update operand is [B, L, Hkv, D] / [B, L, Hkv]
+            rows = jnp.moveaxis(vals[t][:, :, :, 0], 1, 0)
+            out[key] = c[key].at[:, bidx, :, slots].set(rows)
+            if scale is not None:
+                srows = jnp.moveaxis(scale[t][:, :, :, 0], 1, 0)
+                out[key + "_scale"] = c[key + "_scale"].at[
+                    :, bidx, :, slots].set(srows)
+    return out
+
+
 def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
             attention_mask: jax.Array, cache: dict
             ) -> Tuple[jax.Array, dict]:
@@ -415,30 +453,40 @@ def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     """One decode step.
 
     token_embeds: [B, 1, D]; slot: scalar cache index to write; slot_mask:
-    [B, max_len] validity of cache slots up to and including `slot`;
+    [B, max_len] bool validity of cache slots up to and including `slot`;
     positions: [B] rope positions of the new token. Returns
     (post-norm hidden [B, 1, D], updated cache).
+
+    Cache writes are DEFERRED out of the layer scan: the scan reads the
+    cache as a closure constant, each layer's new k/v row rides out as
+    scan ys (attention folds it as an exact extra column — see
+    cache_attention k_new/v_new), and _cache_write_all commits all
+    layers in one update per plane after the scan.
     """
     b = token_embeds.shape[0]
     max_len = cache["k"].shape[3]
     rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
                               positions[:, None])
+    # the current token's row is not in the cache during the scan
+    cache_mask = jnp.logical_and(slot_mask,
+                                 jnp.arange(max_len)[None] != slot)
 
-    def body(carry, xs):
-        x, c = carry
+    def body(x, xs):
         p, i = xs
 
-        def write(k_new, v_new):
-            c_out = dict(c)
-            c_out.update(_cache_write_both(c, k_new, v_new, i, slot))
-            return _cache_kv(c_out, i, x.dtype), c_out
+        def defer(k_new, v_new):
+            kv = _cache_kv(cache, i, x.dtype)
+            kv["k_new"] = k_new.transpose(0, 2, 1, 3)
+            kv["v_new"] = v_new.transpose(0, 2, 1, 3)
+            return kv, jnp.stack([kv["k_new"], kv["v_new"]])
 
-        x, c = _layer(p, cfg, x, rows, write, slot_mask, False)
-        return (x, c), None
+        x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
+        return x, rows_new
 
-    (x, cache), _ = jax.lax.scan(
-        body, (token_embeds, cache),
+    x, new_rows = jax.lax.scan(
+        body, token_embeds,
         (params["layers"], jnp.arange(cfg.num_hidden_layers)))
+    cache = _cache_write_all(cache, new_rows, slot)
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, cache
 
@@ -493,29 +541,34 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
     The continuous-batching variant of decode_step: each batch row sits at
     its own sequence length, so `slots` is [B] (scatter write) instead of
     one shared scalar. slot_mask [B, max_len] must already include each
-    row's own new slot. Returns (post-norm hidden [B, 1, D], cache)."""
+    row's own new slot. Returns (post-norm hidden [B, 1, D], cache).
+
+    Cache writes are deferred out of the layer scan exactly as in
+    decode_step (see there)."""
     b = token_embeds.shape[0]
     max_len = cache["k"].shape[3]
     rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
                               positions[:, None])
     bidx = jnp.arange(b)
+    cache_mask = jnp.logical_and(
+        slot_mask, jnp.arange(max_len)[None] != slots[:, None])
 
-    def body(carry, xs):
-        x, c = carry
+    def body(x, xs):
         p, i = xs
 
-        def write(k_new, v_new):
-            c_out = dict(c)
-            c_out.update(_cache_write_both(c, k_new, v_new, i,
-                                           (bidx, slots)))
-            return _cache_kv(c_out, i, x.dtype), c_out
+        def defer(k_new, v_new):
+            kv = _cache_kv(cache, i, x.dtype)
+            kv["k_new"] = k_new.transpose(0, 2, 1, 3)
+            kv["v_new"] = v_new.transpose(0, 2, 1, 3)
+            return kv, jnp.stack([kv["k_new"], kv["v_new"]])
 
-        x, c = _layer(p, cfg, x, rows, write, slot_mask, False)
-        return (x, c), None
+        x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
+        return x, rows_new
 
-    (x, cache), _ = jax.lax.scan(
-        body, (token_embeds, cache),
+    x, new_rows = jax.lax.scan(
+        body, token_embeds,
         (params["layers"], jnp.arange(cfg.num_hidden_layers)))
+    cache = _cache_write_all(cache, new_rows, (bidx, slots))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, cache
 

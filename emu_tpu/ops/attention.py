@@ -123,10 +123,16 @@ def dot_product_attention(
     return _xla_attention(q, k, v, bias, mask, kv_valid, scale, causal)
 
 
-def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal):
+def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal,
+                        k_new=None, v_new=None):
     """Attention against HEAD-MAJOR k/v [B, Hkv, Skv, D] (the cache-
     resident layout) without materializing a layout change; GQA handled
-    grouped. q [B, Sq, H, D] → [B, Sq, H, D]."""
+    grouped. q [B, Sq, H, D] → [B, Sq, H, D].
+
+    k_new/v_new [B, Hkv, 1, D]: the current token's k/v as one extra
+    always-valid column appended to the logits (deferred-cache-write
+    decode, see llama.decode_step); requires masks that EXCLUDE the
+    current slot."""
     b, sq, h, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     rep = h // hkv
@@ -148,9 +154,20 @@ def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal):
         else:
             m5 = mask.reshape(b, hkv, rep, sq, skv)
         logits = jnp.where(m5, logits, _NEG_INF)
+    if k_new is not None:
+        ln = jnp.einsum("bqgrd,bgkd->bgrqk", q5,
+                        k_new.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        logits = jnp.concatenate([logits, ln * jnp.float32(scale)], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bgrqk,bgkd->bqgrd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bgrqk,bgkd->bqgrd",
+                     probs[..., :skv].astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
+    if k_new is not None:
+        out = out + jnp.einsum("bgrqk,bgkd->bqgrd",
+                               probs[..., skv:].astype(q.dtype),
+                               v_new.astype(q.dtype),
+                               preferred_element_type=jnp.float32)
     return out.reshape(b, sq, h, d).astype(q.dtype)
 
 
@@ -166,11 +183,16 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
     When kv carries a "layer" index the k/v planes are the FULL stacked
     cache [L, B, Hkv, S, D]: the kernel path threads the index through
     scalar prefetch (no per-layer slice is materialized); the XLA path
-    slices here."""
+    slices here.
+
+    When kv carries "k_new"/"v_new" [B, Hkv, 1, D] (deferred cache
+    writes — llama.decode_step), the current token's k/v attend as one
+    extra always-valid column; kv_valid must exclude the current slot."""
     k, v = kv["k"], kv["v"]
     dt = kv.get("dtype", q.dtype)
     ks, vs = kv.get("k_scale"), kv.get("v_scale")
     layer = kv.get("layer")
+    kn, vn = kv.get("k_new"), kv.get("v_new")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if (q.shape[1] == 1 and mask is None and not causal
@@ -184,7 +206,7 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
                                  k.dtype.itemsize):
             return decode_attention(q, k, v, kv_valid, k_scale=ks,
                                     v_scale=vs, scale=float(scale),
-                                    layer=layer)
+                                    layer=layer, k_new=kn, v_new=vn)
     if layer is not None:
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0,
                                                     keepdims=False)
@@ -197,7 +219,8 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
     else:
         k = k.astype(dt)
         v = v.astype(dt)
-    return _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal)
+    return _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal,
+                               k_new=kn, v_new=vn)
 
 
 def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:

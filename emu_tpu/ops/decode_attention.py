@@ -36,13 +36,17 @@ _NEG_INF = -1e30
 
 
 def _kernel(l_ref, q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep,
-            quant):
+            quant, extra):
     del l_ref                # scalar-prefetch layer index: index_maps only
+    rest = list(rest)
+    kn_ref = vn_ref = ks_ref = vs_ref = None
+    if extra:                # current token's k/v, not yet in the cache
+        kn_ref, vn_ref = rest[:2]
+        rest = rest[2:]
     if quant:
-        ks_ref, vs_ref, o_ref, acc, mx, lse = rest
-    else:
-        o_ref, acc, mx, lse = rest
-        ks_ref = vs_ref = None
+        ks_ref, vs_ref = rest[:2]
+        rest = rest[2:]
+    o_ref, acc, mx, lse = rest
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
@@ -98,8 +102,27 @@ def _kernel(l_ref, q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep,
 
     @pl.when(c == nc - 1)
     def _():
-        o_ref[0] = (acc[:].reshape(hb, rep, -1)
-                    / (lse[:, :1].reshape(hb, rep, 1) + 1e-30)
+        a, l = acc[:], lse[:, :1]
+        if kn_ref is not None:
+            # fold the current token's (always-valid) column: its k/v ride
+            # as separate unquantized operands, so the cache write can be
+            # deferred out of the layer scan (llama._cache_write_all) and
+            # this step attends the exact bf16 row
+            kn = kn_ref[0]                         # [hb, 1, D]
+            if kn.dtype != q.dtype:
+                kn = kn.astype(q.dtype)
+            s_n = jax.lax.dot_general(q, kn, (((2,), (2,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+            s_n = (s_n * scale).reshape(hb * rep, 1)
+            m_new = jnp.maximum(mx[:, :1], s_n)
+            p_n = jnp.exp(s_n - m_new)
+            corr = jnp.exp(mx[:, :1] - m_new)
+            l = l * corr + p_n
+            vn = vn_ref[0].astype(jnp.float32)     # [hb, 1, D]
+            pv = p_n.reshape(hb, rep, 1) * vn      # broadcast: K==1 "matmul"
+            a = a * corr + pv.reshape(hb * rep, -1)
+        o_ref[0] = (a.reshape(hb, rep, -1)
+                    / (l.reshape(hb, rep, 1) + 1e-30)
                     ).astype(o_ref.dtype)
 
 
@@ -130,10 +153,17 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      k_scale: Optional[jax.Array] = None,
                      v_scale: Optional[jax.Array] = None, *, scale: float,
                      layer: Optional[jax.Array] = None,
+                     k_new: Optional[jax.Array] = None,
+                     v_new: Optional[jax.Array] = None,
                      interpret: bool = False) -> jax.Array:
     """q [B, 1, H, D] (already roped); k/v head-major cache planes
     [B, Hkv, S, D] (bf16, or int8 with k_scale/v_scale [B, Hkv, S]);
     kv_valid [B, S] (1 = attend, includes the current slot). → [B, 1, H, D].
+
+    k_new/v_new [B, Hkv, 1, D] (compute dtype): the current token's k/v,
+    folded as one extra always-valid softmax column — the row need not be
+    in the cache yet (deferred cache writes), so kv_valid must then
+    EXCLUDE the current slot.
 
     layer (traced scalar) selects a layer of a STACKED cache
     [L, B, Hkv, S, D]: the index rides scalar prefetch and the kernel's
@@ -174,6 +204,12 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      memory_space=pltpu.VMEM),
     ]
     args = [qg, k, v, mask]
+    extra = k_new is not None
+    if extra:
+        in_specs += [pl.BlockSpec((1, hb, 1, d),
+                                  lambda i, g, c, l: (i, g, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_new, v_new]
     if quant:
         l_, b_, hkv_, _ = k_scale.shape
         in_specs += [pl.BlockSpec((None, 1, hb, nc, cs),
@@ -184,7 +220,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, hb=hb, rep=rep,
-                          quant=quant),
+                          quant=quant, extra=extra),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -357,3 +357,70 @@ def test_decode_attention_int8_native():
                                       v_scale=vscale, scale=scale,
                                       interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_decode_attention_extra_kv():
+    """Deferred-cache-write mode: the current token's k/v ride as separate
+    k_new/v_new operands (one extra always-valid column) — kernel output
+    ≡ attending a cache that already contains the row. Covers MHA, GQA,
+    stacked-layer, and int8-cache (extra column stays exact bf16/f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.models.llama import kv_quantize
+    from emu_tpu.ops.decode_attention import decode_attention
+
+    def check(b, s, h, hkv, d, lens, seed, quant=False, stacked=1):
+        ks = iter(jax.random.split(jax.random.PRNGKey(seed), 5))
+        q = jax.random.normal(next(ks), (b, 1, h, d))
+        k = jax.random.normal(next(ks), (stacked, b, hkv, s, d))
+        v = jax.random.normal(next(ks), (stacked, b, hkv, s, d))
+        lens = jnp.asarray(lens)
+        # the new token's row occupies slot lens[b]-1 in each row
+        slot = lens - 1
+        bidx = jnp.arange(b)
+        kn = k[0, bidx, :, slot][:, :, None, :]          # [B, Hkv, 1, D]
+        vn = v[0, bidx, :, slot][:, :, None, :]
+        valid = (jnp.arange(s)[None, :] < lens[:, None]).astype(jnp.int32)
+        cache_valid = (valid
+                       * (jnp.arange(s)[None, :] != slot[:, None])
+                       ).astype(jnp.int32)
+        scale = d ** -0.5
+        layer = jnp.int32(0) if stacked > 1 else None
+        if quant:
+            kq, kscale = kv_quantize(k)
+            vq, vscale = kv_quantize(v)
+            if stacked == 1:
+                kq, vq = kq[0], vq[0]
+                kscale, vscale = kscale[0], vscale[0]
+            # the extra column is consumed exactly (unquantized), so the
+            # oracle is the XLA fallback in the same deferred mode: both
+            # paths dequantize the cache and read the exact new row
+            from emu_tpu.ops.attention import cache_attention
+            kv = {"format": "bhsd", "k": kq, "v": vq,
+                  "k_scale": kscale, "v_scale": vscale,
+                  "dtype": q.dtype, "layer": layer,
+                  "k_new": kn, "v_new": vn}
+            ref = np.asarray(cache_attention(
+                q, kv, kv_valid=cache_valid, scale=scale))
+            out = np.asarray(decode_attention(
+                q, kq, vq, cache_valid, k_scale=kscale, v_scale=vscale,
+                scale=scale, layer=layer, k_new=kn, v_new=vn,
+                interpret=True))
+            np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+            return
+        karr, varr = (k, v) if stacked > 1 else (k[0], v[0])
+        ref = np.asarray(decode_attention(q, karr, varr, valid,
+                                          scale=scale, layer=layer,
+                                          interpret=True))
+        out = np.asarray(decode_attention(q, karr, varr, cache_valid,
+                                          scale=scale, layer=layer,
+                                          k_new=kn, v_new=vn,
+                                          interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    check(3, 40, 5, 5, 128, [40, 17, 5], 41)        # MHA, one chunk
+    check(3, 512, 4, 4, 128, [512, 300, 17], 51)    # MHA, multi-chunk
+    check(2, 256, 8, 2, 128, [256, 100], 61)        # GQA rep=4
+    check(2, 64, 4, 2, 128, [64, 30], 71, stacked=3)
+    check(2, 128, 8, 2, 128, [128, 51], 81, quant=True, stacked=2)
