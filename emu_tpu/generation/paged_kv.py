@@ -94,27 +94,30 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
 
     k_view, v_view = _gather_slot_kv(cache)
 
+    # Pool writes are DEFERRED out of the layer scan (same design as
+    # llama.decode_step): routing the pool planes through scan xs/ys
+    # copied the ENTIRE page pool twice per step; now the scan only
+    # emits each layer's new row as ys and one dual-index scatter per
+    # plane commits all layers below.
     def body(x, xs):
-        p, k_c, v_c, k_vw, v_vw = xs
+        p, k_vw, v_vw = xs
 
         def write(k_new, v_new):
-            k_cache = k_c.at[page_ix, off].set(
-                k_new[:, 0].astype(cache_dtype))
-            v_cache = v_c.at[page_ix, off].set(
-                v_new[:, 0].astype(cache_dtype))
             # attention reads the pre-gathered view + the fresh token
             k_full = k_vw.at[bidx, slots].set(k_new[:, 0].astype(k_vw.dtype))
             v_full = v_vw.at[bidx, slots].set(v_new[:, 0].astype(v_vw.dtype))
             return ((k_full.astype(x.dtype), v_full.astype(x.dtype)),
-                    (k_cache, v_cache))
+                    (k_new[:, 0], v_new[:, 0]))
 
-        x, cache_out = _layer(p, cfg, x, rows, write, slot_mask,
-                              False)
-        return x, cache_out
+        x, rows_new = _layer(p, cfg, x, rows, write, slot_mask,
+                             False)
+        return x, rows_new
 
-    x, (k_all, v_all) = jax.lax.scan(
-        body, token_embeds,
-        (params["layers"], cache["k"], cache["v"], k_view, v_view))
+    x, (k_rows, v_rows) = jax.lax.scan(
+        body, token_embeds, (params["layers"], k_view, v_view))
+    # k_rows/v_rows [L, B, Hkv, D] → pool[l, page_ix[b], off[b]]
+    k_all = cache["k"].at[:, page_ix, off].set(k_rows.astype(cache_dtype))
+    v_all = cache["v"].at[:, page_ix, off].set(v_rows.astype(cache_dtype))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, {"k": k_all, "v": v_all,
                     "page_table": cache["page_table"]}
