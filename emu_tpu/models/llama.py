@@ -498,36 +498,38 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
     """Decode a CHUNK of q tokens against the cache in one forward.
 
     The speculative-decoding verify step: token_embeds [B, q, D] occupy
-    cache slots [slot, slot+q); query i attends cache positions <= slot+i
-    (per-query causality inside the fixed-size cache needs a dense mask —
-    `causal` aligns to the cache end, which is longer than the logical
-    sequence). valid_len [B]: count of valid slots before the chunk
-    (== slot when there is no padding). Returns (post-norm hidden
-    [B, q, D], cache)."""
+    cache slots [slot, slot+q); query i attends the committed cache
+    positions (all j < valid_len) plus chunk columns <= i. valid_len [B]:
+    count of valid slots before the chunk (== slot when there is no
+    padding). Returns (post-norm hidden [B, q, D], cache).
+
+    Same deferred-write design as decode_step: the chunk's k/v ride as
+    extra attention columns (with the intra-chunk causal triangle applied
+    by the attention backend), the cache is a read-only scan closure, and
+    all layers commit in one update per plane after the scan — this also
+    keeps the verify chunk on the single-launch Pallas decode kernel
+    (int8 caches consumed natively) instead of the dense-mask XLA path."""
     b, qn, _ = token_embeds.shape
     max_len = cache["k"].shape[3]
     rows = R.gather_rope_rows(*rope_tables(cfg, max_len), positions)
-    j = jnp.arange(max_len)[None, None, None, :]          # [1,1,1,Skv]
-    i = jnp.arange(qn)[None, None, :, None]               # [1,1,q,1]
-    mask = (j < valid_len[:, None, None, None]) | (
-        (j >= slot) & (j <= slot + i))                    # [B,1,q,Skv]
+    cache_mask = jnp.arange(max_len)[None] < valid_len[:, None]
 
-    def body(carry, xs):
-        x, c = carry
+    def body(x, xs):
         p, i = xs
 
-        def write(k_new, v_new):
-            c_out = dict(c)
-            c_out.update(_cache_write_both(c, k_new, v_new, i, slot))
-            return _cache_kv(c_out, i, x.dtype), c_out
+        def defer(k_new, v_new):
+            kv = _cache_kv(cache, i, x.dtype)
+            kv["k_new"] = k_new.transpose(0, 2, 1, 3)    # [B, Hkv, q, D]
+            kv["v_new"] = v_new.transpose(0, 2, 1, 3)
+            return kv, jnp.stack([kv["k_new"], kv["v_new"]])
 
-        x, c = _layer(p, cfg, x, rows, write, None,
-                      False, mask)
-        return (x, c), None
+        x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
+        return x, rows_new
 
-    (x, cache), _ = jax.lax.scan(
-        body, (token_embeds, cache),
+    x, new_rows = jax.lax.scan(
+        body, token_embeds,
         (params["layers"], jnp.arange(cfg.num_hidden_layers)))
+    cache = _cache_write_all(cache, new_rows, slot)
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, cache
 

@@ -129,10 +129,11 @@ def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal,
     resident layout) without materializing a layout change; GQA handled
     grouped. q [B, Sq, H, D] → [B, Sq, H, D].
 
-    k_new/v_new [B, Hkv, 1, D]: the current token's k/v as one extra
-    always-valid column appended to the logits (deferred-cache-write
-    decode, see llama.decode_step); requires masks that EXCLUDE the
-    current slot."""
+    k_new/v_new [B, Hkv, Sq, D]: the current chunk's k/v as extra columns
+    appended to the logits (deferred-cache-write decode, see
+    llama.decode_step); requires masks that EXCLUDE the chunk's slots.
+    For Sq > 1 (speculative verify chunk) query i sees extra column j iff
+    j <= i (intra-chunk causality)."""
     b, sq, h, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     rep = h // hkv
@@ -158,7 +159,13 @@ def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal,
         ln = jnp.einsum("bqgrd,bgkd->bgrqk", q5,
                         k_new.astype(q.dtype),
                         preferred_element_type=jnp.float32)
-        logits = jnp.concatenate([logits, ln * jnp.float32(scale)], axis=-1)
+        ln = ln * jnp.float32(scale)
+        qn = k_new.shape[2]
+        if qn > 1:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (sq, qn), 0)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (sq, qn), 1)
+            ln = jnp.where((cj <= qi)[None, None, None], ln, _NEG_INF)
+        logits = jnp.concatenate([logits, ln], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bgrqk,bgkd->bqgrd",
                      probs[..., :skv].astype(v.dtype), v,
@@ -195,7 +202,9 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
     kn, vn = kv.get("k_new"), kv.get("v_new")
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if (q.shape[1] == 1 and mask is None and not causal
+    sq = q.shape[1]
+    if ((sq == 1 or (kn is not None and sq <= 32))
+            and mask is None and not causal
             and kv_valid is not None
             and jax.default_backend() in ("tpu", "axon")
             and os.environ.get("EMU_TPU_DECODE_KERNEL", "1") != "0"):
@@ -203,7 +212,7 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
                                                   decode_attention_fits)
         if decode_attention_fits(q.shape[0], q.shape[2], k.shape[-3],
                                  k.shape[-2], k.shape[-1],
-                                 k.dtype.itemsize):
+                                 k.dtype.itemsize, qn=sq):
             return decode_attention(q, k, v, kv_valid, k_scale=ks,
                                     v_scale=vs, scale=float(scale),
                                     layer=layer, k_new=kn, v_new=vn)

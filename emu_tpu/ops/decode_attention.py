@@ -36,17 +36,18 @@ _NEG_INF = -1e30
 
 
 def _kernel(l_ref, q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep,
-            quant, extra):
+            qn, quant, extra):
     del l_ref                # scalar-prefetch layer index: index_maps only
     rest = list(rest)
     kn_ref = vn_ref = ks_ref = vs_ref = None
-    if extra:                # current token's k/v, not yet in the cache
+    if extra:                # current chunk's k/v, not yet in the cache
         kn_ref, vn_ref = rest[:2]
         rest = rest[2:]
     if quant:
         ks_ref, vs_ref = rest[:2]
         rest = rest[2:]
     o_ref, acc, mx, lse = rest
+    rep = rep * qn           # M rows per kv head: rep query heads × qn queries
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
@@ -104,22 +105,36 @@ def _kernel(l_ref, q_ref, k_ref, v_ref, m_ref, *rest, scale, hb, rep,
     def _():
         a, l = acc[:], lse[:, :1]
         if kn_ref is not None:
-            # fold the current token's (always-valid) column: its k/v ride
-            # as separate unquantized operands, so the cache write can be
-            # deferred out of the layer scan (llama._cache_write_all) and
-            # this step attends the exact bf16 row
-            kn = kn_ref[0]                         # [hb, 1, D]
+            # fold the current chunk's columns: its k/v ride as separate
+            # unquantized operands, so the cache write can be deferred out
+            # of the layer scan (llama._cache_write_all) and this step
+            # attends the exact bf16 rows. qn == 1 is the decode step;
+            # qn > 1 is the speculative verify chunk, where query i sees
+            # chunk column j iff j <= i (intra-chunk causality).
+            kn = kn_ref[0]                         # [hb, qn, D]
             if kn.dtype != q.dtype:
                 kn = kn.astype(q.dtype)
             s_n = jax.lax.dot_general(q, kn, (((2,), (2,)), ((0,), (0,))),
                                       preferred_element_type=jnp.float32)
-            s_n = (s_n * scale).reshape(hb * rep, 1)
-            m_new = jnp.maximum(mx[:, :1], s_n)
+            s_n = s_n * scale                      # [hb, rep*qn, qn]
+            if qn > 1:
+                row_q = jax.lax.broadcasted_iota(jnp.int32, s_n.shape, 1) % qn
+                col = jax.lax.broadcasted_iota(jnp.int32, s_n.shape, 2)
+                s_n = jnp.where(col <= row_q, s_n, _NEG_INF)
+            s_n = s_n.reshape(hb * rep, qn)
+            m_new = jnp.maximum(mx[:, :1],
+                                jnp.max(s_n, axis=-1, keepdims=True))
             p_n = jnp.exp(s_n - m_new)
             corr = jnp.exp(mx[:, :1] - m_new)
-            l = l * corr + p_n
-            vn = vn_ref[0].astype(jnp.float32)     # [hb, 1, D]
-            pv = p_n.reshape(hb, rep, 1) * vn      # broadcast: K==1 "matmul"
+            l = l * corr + jnp.sum(p_n, axis=-1, keepdims=True)
+            vn = vn_ref[0].astype(jnp.float32)     # [hb, qn, D]
+            if qn == 1:
+                pv = p_n.reshape(hb, rep, 1) * vn  # broadcast: K==1 "matmul"
+            else:
+                pv = jax.lax.dot_general(
+                    p_n.reshape(hb, rep, qn), vn,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
             a = a * corr + pv.reshape(hb * rep, -1)
         o_ref[0] = (a.reshape(hb, rep, -1)
                     / (l.reshape(hb, rep, 1) + 1e-30)
@@ -156,14 +171,18 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      k_new: Optional[jax.Array] = None,
                      v_new: Optional[jax.Array] = None,
                      interpret: bool = False) -> jax.Array:
-    """q [B, 1, H, D] (already roped); k/v head-major cache planes
-    [B, Hkv, S, D] (bf16, or int8 with k_scale/v_scale [B, Hkv, S]);
-    kv_valid [B, S] (1 = attend, includes the current slot). → [B, 1, H, D].
+    """q [B, Sq, H, D] (already roped, Sq small); k/v head-major cache
+    planes [B, Hkv, S, D] (bf16, or int8 with k_scale/v_scale
+    [B, Hkv, S]); kv_valid [B, S] (1 = attend). → [B, Sq, H, D].
 
-    k_new/v_new [B, Hkv, 1, D] (compute dtype): the current token's k/v,
-    folded as one extra always-valid softmax column — the row need not be
-    in the cache yet (deferred cache writes), so kv_valid must then
-    EXCLUDE the current slot.
+    k_new/v_new [B, Hkv, Sq, D] (compute dtype): the current chunk's k/v,
+    folded as extra softmax columns — the rows need not be in the cache
+    yet (deferred cache writes), so kv_valid must then EXCLUDE the
+    chunk's slots. Sq == 1 is the decode step (one always-valid column);
+    Sq > 1 is the speculative verify chunk: query i additionally sees
+    chunk column j iff j <= i, while every query sees all kv_valid cache
+    columns. Sq > 1 REQUIRES k_new/v_new (the cache part has no causal
+    masking).
 
     layer (traced scalar) selects a layer of a STACKED cache
     [L, B, Hkv, S, D]: the index rides scalar prefetch and the kernel's
@@ -171,7 +190,9 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     cache — no [B, Hkv, S, D] slice is ever materialized. Inside the
     decoder's layer scan that slice was 2×25 MB of pure copy traffic per
     layer per step (the single largest decode dispatch cost)."""
-    b, _, h, d = q.shape
+    b, qn, h, d = q.shape
+    assert qn == 1 or k_new is not None, \
+        "decode_attention: Sq > 1 requires k_new/v_new (verify chunk)"
     if layer is None:
         k, v = k[None], v[None]
         if k_scale is not None:
@@ -179,20 +200,27 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         layer = 0
     hkv, s = k.shape[2], k.shape[3]
     rep = h // hkv
-    plan = _plan(hkv, rep, s, d, k.dtype.itemsize)
+    m = rep * qn                      # M rows per kv head in the kernel
+    plan = _plan(hkv, m, s, d, k.dtype.itemsize)
     assert plan is not None, "decode_attention: no (hb, cs) fits VMEM"
     hb, cs = plan
     quant = k_scale is not None
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     nc = s // cs
 
-    qg = q.reshape(b, hkv, rep, d)                 # free: Sq == 1
+    if qn == 1:
+        qg = q.reshape(b, hkv, rep, d)             # free: Sq == 1
+    else:
+        # [B, Sq, H, D] → [B, Hkv, rep·Sq, D], queries innermost (the
+        # kernel's intra-chunk triangle indexes row % Sq)
+        qg = q.reshape(b, qn, hkv, rep, d).transpose(0, 2, 3, 1, 4
+                                                     ).reshape(b, hkv, m, d)
     mask = kv_valid.astype(jnp.float32).reshape(b, nc, cs)
 
     grid = (b, hkv // hb, nc)
     kv_map = lambda i, g, c, l: (l[0], i, g, c, 0)
     in_specs = [
-        pl.BlockSpec((1, hb, rep, d), lambda i, g, c, l: (i, g, 0, 0),
+        pl.BlockSpec((1, hb, m, d), lambda i, g, c, l: (i, g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((None, 1, hb, cs, d), kv_map,
                      memory_space=pltpu.VMEM),
@@ -206,7 +234,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     args = [qg, k, v, mask]
     extra = k_new is not None
     if extra:
-        in_specs += [pl.BlockSpec((1, hb, 1, d),
+        in_specs += [pl.BlockSpec((1, hb, qn, d),
                                   lambda i, g, c, l: (i, g, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
         args += [k_new, v_new]
@@ -219,27 +247,30 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                  v_scale.astype(jnp.float32).reshape(l_, b_, hkv_, nc, cs)]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, hb=hb, rep=rep,
+        functools.partial(_kernel, scale=scale, hb=hb, rep=rep, qn=qn,
                           quant=quant, extra=extra),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hb, rep, d),
+            out_specs=pl.BlockSpec((1, hb, m, d),
                                    lambda i, g, c, l: (i, g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((hb * rep, d), jnp.float32),
-                            pltpu.VMEM((hb * rep, 128), jnp.float32),
-                            pltpu.VMEM((hb * rep, 128), jnp.float32)]),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
+            scratch_shapes=[pltpu.VMEM((hb * m, d), jnp.float32),
+                            pltpu.VMEM((hb * m, 128), jnp.float32),
+                            pltpu.VMEM((hb * m, 128), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, m, d), q.dtype),
         interpret=interpret,
     )(lidx, *args)
-    return out.reshape(b, 1, h, d)
+    if qn == 1:
+        return out.reshape(b, 1, h, d)
+    return out.reshape(b, hkv, rep, qn, d).transpose(0, 3, 1, 2, 4
+                                                     ).reshape(b, qn, h, d)
 
 
 def decode_attention_fits(b: int, h: int, hkv: int, s: int, d: int,
-                          itemsize: int) -> bool:
+                          itemsize: int, qn: int = 1) -> bool:
     """Tiling + VMEM feasibility for the head-major decode kernel."""
     if d % 128 or s % 8 or h % hkv:
         return False
-    return _plan(hkv, h // hkv, s, d, itemsize) is not None
+    return _plan(hkv, (h // hkv) * qn, s, d, itemsize) is not None

@@ -424,3 +424,44 @@ def test_decode_attention_extra_kv():
     check(2, 256, 8, 2, 128, [256, 100], 61)        # GQA rep=4
     check(2, 64, 4, 2, 128, [64, 30], 71, stacked=3)
     check(2, 128, 8, 2, 128, [128, 51], 81, quant=True, stacked=2)
+
+
+def test_decode_attention_verify_chunk():
+    """Sq > 1 deferred mode (speculative verify): all queries see the
+    committed cache columns, query i sees chunk column j iff j <= i —
+    kernel ≡ the dense-mask XLA oracle on the fully-written cache."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.attention import _xla_attention
+    from emu_tpu.ops.decode_attention import decode_attention
+
+    def check(b, s, h, hkv, d, qn, committed, seed):
+        ks = iter(jax.random.split(jax.random.PRNGKey(seed), 3))
+        q = jax.random.normal(next(ks), (b, qn, h, d))
+        k = jax.random.normal(next(ks), (b, hkv, s, d))
+        v = jax.random.normal(next(ks), (b, hkv, s, d))
+        com = jnp.asarray(committed)                       # [B]
+        kn = jnp.stack([k[r, :, com[r]:com[r] + qn] for r in range(b)])
+        vn = jnp.stack([v[r, :, com[r]:com[r] + qn] for r in range(b)])
+        cache_valid = (jnp.arange(s)[None] < com[:, None]).astype(jnp.int32)
+        scale = d ** -0.5
+        # oracle: dense mask over the fully-written cache
+        rep = h // hkv
+        j = jnp.arange(s)[None, None, None, :]
+        i = jnp.arange(qn)[None, None, :, None]
+        dense = (j < com[:, None, None, None]) | (
+            (j >= com[:, None, None, None])
+            & (j <= com[:, None, None, None] + i))
+        k_t = jnp.repeat(k.transpose(0, 2, 1, 3), rep, axis=2)
+        v_t = jnp.repeat(v.transpose(0, 2, 1, 3), rep, axis=2)
+        ref = np.asarray(_xla_attention(q, k_t, v_t, None, dense, None,
+                                        scale, False))
+        out = np.asarray(decode_attention(q, k, v, cache_valid,
+                                          scale=scale, k_new=kn, v_new=vn,
+                                          interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    check(2, 64, 4, 4, 128, 4, [32, 11], 42)       # MHA one chunk
+    check(2, 512, 4, 4, 128, 3, [500, 80], 52)     # multi-chunk stream
+    check(2, 128, 8, 2, 128, 5, [100, 40], 62)     # GQA rep=4
