@@ -314,43 +314,17 @@ def _cache_kv(c: dict, layer, dtype) -> dict:
     return kv
 
 
-def _cache_write(c: dict, key: str, new: jax.Array, layer, idx) -> dict:
-    """Update layer `layer` of `key` (and its scale plane) IN the full
-    stacked cache. The cache lives in the layer scan's CARRY, so these
-    dynamic updates execute in place in the while-loop state — routing
-    it through scan xs/ys instead copies the whole cache per layer per
-    step (the dominant cost of long-context decode).
-
-    new: [B, S_new, Hkv, D] (the projection layout; stored head-major).
-    idx: scalar slot start, or a (bidx, slots) pair for per-row scatter
-    (continuous batching)."""
-    out = {}
-    if key + "_scale" in c:
-        vals, scale = kv_quantize(new.transpose(0, 2, 1, 3))
-    else:
-        vals, scale = new.astype(c[key].dtype).transpose(0, 2, 1, 3), None
-    if not isinstance(idx, tuple):
-        out[key] = jax.lax.dynamic_update_slice(c[key], vals[None],
-                                                (layer, 0, 0, idx, 0))
-        if scale is not None:
-            out[key + "_scale"] = jax.lax.dynamic_update_slice(
-                c[key + "_scale"], scale[None], (layer, 0, 0, idx))
-    else:
-        bidx, slots = idx
-        out[key] = c[key].at[layer, bidx, :, slots].set(vals[:, :, 0])
-        if scale is not None:
-            out[key + "_scale"] = c[key + "_scale"].at[
-                layer, bidx, :, slots].set(scale[:, :, 0])
-    return out
-
-
 def _cache_write_both(c: dict, k_new: jax.Array, v_new: jax.Array, layer,
                       idx) -> dict:
-    """_cache_write for the k AND v planes of one layer in one pass: the
-    new projections stack on a leading [2] axis so the int8 KV
-    quantization (abs-max/div/round/clip chain) runs ONCE over both —
-    on the dispatch-latency-bound decode path the per-plane chains were
-    ~7 extra op launches per layer per step."""
+    """Write layer `layer`'s k AND v planes (and their scale planes) IN
+    the full stacked cache, in one pass: the new projections stack on a
+    leading [2] axis so the int8 KV quantization (abs-max/div/round/clip
+    chain) runs ONCE over both. Used by prefill, whose cache lives in
+    the layer scan's CARRY (in-place while-loop state); the decode paths
+    defer their writes to _cache_write_all instead.
+
+    k_new/v_new: [B, S_new, Hkv, D] (projection layout; stored
+    head-major). idx: scalar slot start."""
     quant = "k_scale" in c
     kv = jnp.stack([k_new.transpose(0, 2, 1, 3),
                     v_new.transpose(0, 2, 1, 3)])   # [2, B, Hkv, S_new, D]
@@ -360,18 +334,11 @@ def _cache_write_both(c: dict, k_new: jax.Array, v_new: jax.Array, layer,
         vals, scale = kv.astype(c["k"].dtype), None
     out = {}
     for i, key in enumerate(("k", "v")):
-        if not isinstance(idx, tuple):
-            out[key] = jax.lax.dynamic_update_slice(
-                c[key], vals[i][None], (layer, 0, 0, idx, 0))
-            if scale is not None:
-                out[key + "_scale"] = jax.lax.dynamic_update_slice(
-                    c[key + "_scale"], scale[i][None], (layer, 0, 0, idx))
-        else:
-            bidx, slots = idx
-            out[key] = c[key].at[layer, bidx, :, slots].set(vals[i][:, :, 0])
-            if scale is not None:
-                out[key + "_scale"] = c[key + "_scale"].at[
-                    layer, bidx, :, slots].set(scale[i][:, :, 0])
+        out[key] = jax.lax.dynamic_update_slice(
+            c[key], vals[i][None], (layer, 0, 0, idx, 0))
+        if scale is not None:
+            out[key + "_scale"] = jax.lax.dynamic_update_slice(
+                c[key + "_scale"], scale[i][None], (layer, 0, 0, idx))
     return out
 
 
