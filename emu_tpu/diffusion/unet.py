@@ -200,9 +200,23 @@ def _heads(cfg: UNetConfig, block_idx: int) -> int:
 def forward(params: dict, cfg: UNetConfig, sample: jax.Array,
             timesteps: jax.Array, encoder_hidden: jax.Array,
             added_text_embeds: Optional[jax.Array] = None,
-            added_time_ids: Optional[jax.Array] = None) -> jax.Array:
+            added_time_ids: Optional[jax.Array] = None,
+            deep_cache: Optional[jax.Array] = None,
+            return_cache: bool = False):
     """Predict noise. sample [B, H, W, C_lat]; timesteps [B];
-    encoder_hidden [B, M, cross_attention_dim]."""
+    encoder_hidden [B, M, cross_attention_dim].
+
+    Block caching (DeepCache-style, arXiv:2312.03209 "Cache Me if You
+    Can" / 2310.01407): adjacent denoise steps change the deep UNet
+    features slowly, so a pipeline may reuse them. With
+    `return_cache=True` the full pass also returns the feature entering
+    the LAST up block (everything below it — down blocks 1.., mid, up
+    blocks ..-2 — is the expensive transformer-heavy interior). With
+    `deep_cache=<that feature>` only the shallow path reruns: conv_in +
+    down block 0 (whose skips feed the last up block) + the last up
+    block + output head. Exact contract: cached(x, t, cache_of(x, t))
+    == full(x, t). Returns `out` or `(out, cache)` when either flag/arg
+    is used."""
     chs = cfg.block_out_channels
     groups = cfg.norm_num_groups
 
@@ -227,46 +241,82 @@ def forward(params: dict, cfg: UNetConfig, sample: jax.Array,
                                           add)))
         temb = temb + aug
 
-    # 2. down
+    # 2. down — block 0 (the shallow path; its skips feed the last up
+    # block, so it reruns even for cached steps)
     x = D.conv2d(params["conv_in"], sample)
     skips = [x]
-    for i, blk in enumerate(params["down_blocks"]):
-        has_attn = len(blk["attentions"]) > 0
-        for j, res in enumerate(blk["resnets"]):
-            x = D.resnet_block(res, x, temb, groups, cfg.norm_eps)
-            if has_attn:
-                x = _transformer2d(blk["attentions"][j], x, encoder_hidden,
-                                   _heads(cfg, i), cfg)
-            skips.append(x)
-        if "downsamplers" in blk:
-            x = D.conv2d(blk["downsamplers"], x, stride=2)
-            skips.append(x)
+    blk0 = params["down_blocks"][0]
+    for j, res in enumerate(blk0["resnets"]):
+        x = D.resnet_block(res, x, temb, groups, cfg.norm_eps)
+        if blk0["attentions"]:
+            x = _transformer2d(blk0["attentions"][j], x, encoder_hidden,
+                               _heads(cfg, 0), cfg)
+        skips.append(x)
 
-    # 3. mid
-    mid = params["mid_block"]
-    x = D.resnet_block(mid["resnets"][0], x, temb, groups, cfg.norm_eps)
-    x = _transformer2d(mid["attentions"][0], x, encoder_hidden,
-                       _heads(cfg, len(chs) - 1), cfg)
-    x = D.resnet_block(mid["resnets"][1], x, temb, groups, cfg.norm_eps)
-
-    # 4. up
     n_blocks = len(cfg.up_block_types)
-    for i, blk in enumerate(params["up_blocks"]):
-        has_attn = len(blk["attentions"]) > 0
-        head_idx = n_blocks - 1 - i
-        for j, res in enumerate(blk["resnets"]):
-            skip = skips.pop()
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = D.resnet_block(res, x, temb, groups, cfg.norm_eps)
-            if has_attn:
-                x = _transformer2d(blk["attentions"][j], x, encoder_hidden,
-                                   _heads(cfg, head_idx), cfg)
-        if "upsamplers" in blk:
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-            x = D.conv2d(blk["upsamplers"], x)
+    if deep_cache is None:
+        # 2b. deep down blocks
+        if "downsamplers" in blk0:
+            x = D.conv2d(blk0["downsamplers"], x, stride=2)
+            skips.append(x)
+        for i, blk in enumerate(params["down_blocks"][1:], start=1):
+            has_attn = len(blk["attentions"]) > 0
+            for j, res in enumerate(blk["resnets"]):
+                x = D.resnet_block(res, x, temb, groups, cfg.norm_eps)
+                if has_attn:
+                    x = _transformer2d(blk["attentions"][j], x,
+                                       encoder_hidden, _heads(cfg, i), cfg)
+                skips.append(x)
+            if "downsamplers" in blk:
+                x = D.conv2d(blk["downsamplers"], x, stride=2)
+                skips.append(x)
+
+        # 3. mid
+        mid = params["mid_block"]
+        x = D.resnet_block(mid["resnets"][0], x, temb, groups, cfg.norm_eps)
+        x = _transformer2d(mid["attentions"][0], x, encoder_hidden,
+                           _heads(cfg, len(chs) - 1), cfg)
+        x = D.resnet_block(mid["resnets"][1], x, temb, groups, cfg.norm_eps)
+
+        # 4. deep up blocks (all but the last)
+        for i, blk in enumerate(params["up_blocks"][:-1]):
+            has_attn = len(blk["attentions"]) > 0
+            head_idx = n_blocks - 1 - i
+            for j, res in enumerate(blk["resnets"]):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = D.resnet_block(res, x, temb, groups, cfg.norm_eps)
+                if has_attn:
+                    x = _transformer2d(blk["attentions"][j], x,
+                                       encoder_hidden, _heads(cfg, head_idx),
+                                       cfg)
+            if "upsamplers" in blk:
+                b, h, w, c = x.shape
+                x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+                x = D.conv2d(blk["upsamplers"], x)
+        cache = x
+    else:
+        cache = deep_cache
+        x = cache
+
+    # 4b. last up block — consumes the shallow skips
+    blk = params["up_blocks"][-1]
+    for j, res in enumerate(blk["resnets"]):
+        skip = skips.pop()
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = D.resnet_block(res, x, temb, groups, cfg.norm_eps)
+        if blk["attentions"]:
+            x = _transformer2d(blk["attentions"][j], x, encoder_hidden,
+                               _heads(cfg, 0), cfg)
+    if "upsamplers" in blk:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        x = D.conv2d(blk["upsamplers"], x)
 
     # 5. out
     x = D.group_norm(params["conv_norm_out"], x, groups, cfg.norm_eps)
     x = jax.nn.silu(x)
-    return D.conv2d(params["conv_out"], x)
+    out = D.conv2d(params["conv_out"], x)
+    if return_cache or deep_cache is not None:
+        return out, cache
+    return out

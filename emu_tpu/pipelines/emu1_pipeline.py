@@ -124,7 +124,7 @@ class EmuGenerationPipeline:
 
     def __call__(self, inputs: List, height: int = 512, width: int = 512,
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, cache_interval: int = 1):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         do_cfg = guidance_scale > 1.0
@@ -137,7 +137,7 @@ class EmuGenerationPipeline:
         image = _denoise_pndm(
             self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
             self.scheduler_cfg, num_inference_steps, latents, prompt_embeds,
-            jnp.float32(guidance_scale), do_cfg)
+            jnp.float32(guidance_scale), do_cfg, cache_interval)
         image = np.asarray(image)
         nsfw = None
         if self.safety_checker is not None:
@@ -145,27 +145,49 @@ class EmuGenerationPipeline:
         return _to_pil(image)[0], nsfw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 9))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 9, 10))
 def _denoise_pndm(unet_params, unet_cfg, vae_params, vae_cfg, sched_cfg,
                   steps: int, latents, prompt_embeds, guidance_scale,
-                  do_cfg: bool):
+                  do_cfg: bool, cache_interval: int = 1):
+    """cache_interval > 1 enables UNet block caching (see
+    visual_generation._denoise_euler — same DeepCache-style trade)."""
     sched = PNDMScheduler(sched_cfg, num_inference_steps=steps)
     state = sched.init_state(latents.shape)
     n_branches = prompt_embeds.shape[0] if do_cfg else 1
+    n = sched.num_steps
 
-    def body(i, carry):
+    def substep(i, carry, cache):
         latents, state = carry
+        ic = jnp.minimum(i, n - 1)              # guard group overhang
         inp = jnp.concatenate([latents] * n_branches, 0) if do_cfg else latents
-        t = jnp.broadcast_to(sched.timesteps[i].astype(jnp.float32),
+        t = jnp.broadcast_to(sched.timesteps[ic].astype(jnp.float32),
                              (inp.shape[0],))
-        eps = unet.forward(unet_params, unet_cfg, inp, t, prompt_embeds)
+        eps = unet.forward(unet_params, unet_cfg, inp, t, prompt_embeds,
+                           deep_cache=cache,
+                           return_cache=cache_interval > 1)
+        if cache_interval > 1:
+            eps, cache = eps
         if do_cfg:
             cond, uncond = jnp.split(eps, 2, axis=0)
             eps = uncond + guidance_scale * (cond - uncond)
-        latents, state = sched.step(eps, i, latents, state)
-        return latents, state
+        new = sched.step(eps, ic, latents, state)
+        keep = i < n
+        carry = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), new, carry)
+        return carry, cache
 
-    latents, _ = jax.lax.fori_loop(0, sched.num_steps, body, (latents, state))
+    if cache_interval == 1:
+        body = lambda i, carry: substep(i, carry, None)[0]
+        latents, _ = jax.lax.fori_loop(0, n, body, (latents, state))
+    else:
+        def group(g, carry):
+            i0 = g * cache_interval
+            carry, cache = substep(i0, carry, None)
+            for o in range(1, cache_interval):
+                carry, _ = substep(i0 + o, carry, cache)
+            return carry
+        latents, _ = jax.lax.fori_loop(0, -(-n // cache_interval), group,
+                                       (latents, state))
     img = vae.decode(vae_params, vae_cfg,
                      latents / jnp.asarray(vae_cfg.scaling_factor,
                                            latents.dtype))

@@ -168,7 +168,8 @@ class EmuVisualGeneration:
                  num_inference_steps: int = 50, guidance_scale: float = 3.0,
                  crop_info: List[int] = (0, 0),
                  original_size: List[int] = (1024, 1024),
-                 rng: Optional[jax.Array] = None) -> VisualGenerationOutput:
+                 rng: Optional[jax.Array] = None,
+                 cache_interval: int = 1) -> VisualGenerationOutput:
         if not isinstance(inputs, list):
             inputs = [inputs]
         if rng is None:
@@ -188,7 +189,7 @@ class EmuVisualGeneration:
         image = _denoise_euler(
             self.unet_params, self.unet_cfg, self.vae_params, self.vae_cfg,
             self.scheduler_cfg, num_inference_steps, latents, prompt_embeds,
-            time_ids, jnp.float32(guidance_scale), do_cfg)
+            time_ids, jnp.float32(guidance_scale), do_cfg, cache_interval)
         image = np.asarray(image)
         nsfw = None
         if self.safety_checker is not None:
@@ -198,27 +199,50 @@ class EmuVisualGeneration:
                                       nsfw_content_detected=nsfw)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 10))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 10, 11))
 def _denoise_euler(unet_params, unet_cfg, vae_params, vae_cfg, sched_cfg,
                    steps: int, latents, prompt_embeds, time_ids,
-                   guidance_scale, do_cfg: bool):
+                   guidance_scale, do_cfg: bool, cache_interval: int = 1):
+    """cache_interval > 1 enables UNet block caching (unet.forward
+    deep_cache): each group of `cache_interval` steps runs one full pass
+    and reuses its deep feature for the rest — an intentional
+    approximation (DeepCache-style) trading a little fidelity for a
+    near-proportional speedup of the transformer-heavy interior."""
     sched = EulerDiscreteScheduler(sched_cfg, num_inference_steps=steps)
     latents = latents * jnp.asarray(sched.init_noise_sigma, latents.dtype)
     text_embeds = jnp.mean(prompt_embeds, axis=1)
+    n = sched.num_inference_steps
 
-    def body(i, latents):
+    def substep(i, latents, cache):
+        ic = jnp.minimum(i, n - 1)              # guard group overhang
         inp = jnp.concatenate([latents] * 2, 0) if do_cfg else latents
-        inp = sched.scale_model_input(inp, i)
-        t = jnp.broadcast_to(sched.timesteps[i], (inp.shape[0],))
+        inp = sched.scale_model_input(inp, ic)
+        t = jnp.broadcast_to(sched.timesteps[ic], (inp.shape[0],))
         eps = unet.forward(unet_params, unet_cfg, inp, t, prompt_embeds,
                            added_text_embeds=text_embeds,
-                           added_time_ids=time_ids)
+                           added_time_ids=time_ids,
+                           deep_cache=cache,
+                           return_cache=cache_interval > 1)
+        if cache_interval > 1:
+            eps, cache = eps
         if do_cfg:
             cond, uncond = jnp.split(eps, 2, axis=0)
             eps = uncond + guidance_scale * (cond - uncond)
-        return sched.step(eps, i, latents)
+        new = sched.step(eps, ic, latents)
+        return jnp.where(i < n, new, latents), cache
 
-    latents = jax.lax.fori_loop(0, sched.num_inference_steps, body, latents)
+    if cache_interval == 1:
+        body = lambda i, lat: substep(i, lat, None)[0]
+        latents = jax.lax.fori_loop(0, n, body, latents)
+    else:
+        def group(g, lat):
+            i0 = g * cache_interval
+            lat, cache = substep(i0, lat, None)
+            for o in range(1, cache_interval):
+                lat, _ = substep(i0 + o, lat, cache)
+            return lat
+        latents = jax.lax.fori_loop(0, -(-n // cache_interval), group,
+                                    latents)
     img = vae.decode(vae_params, vae_cfg,
                      latents / jnp.asarray(vae_cfg.scaling_factor,
                                            latents.dtype))

@@ -229,3 +229,45 @@ def test_vae_chunked_attention_matches_dense():
     chunked = _vae_attention(p, x, chunk=16)     # 50 → 4 chunks with pad
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unet_block_cache_exact_contract():
+    """DeepCache split exactness: (a) return_cache=True changes nothing
+    about the output; (b) a cached pass fed the cache of the SAME
+    (sample, t) reproduces the full output bit-for-bit (the shallow path
+    is recomputed, the deep path is the cache)."""
+    for sdxl in (False, True):
+        cfg = UNetConfig.tiny(cross_attention_dim=16, sdxl=sdxl)
+        params = unet.init(jax.random.PRNGKey(7), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 16))
+        kw = {}
+        if sdxl:
+            kw = dict(added_text_embeds=jnp.mean(ctx, axis=1),
+                      added_time_ids=jnp.tile(
+                          jnp.asarray([[8., 8., 0., 0., 8., 8.]]), (2, 1)))
+        t = jnp.asarray([10.0, 500.0])
+        ref = unet.forward(params, cfg, x, t, ctx, **kw)
+        out, cache = unet.forward(params, cfg, x, t, ctx, return_cache=True,
+                                  **kw)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        out2, cache2 = unet.forward(params, cfg, x, t, ctx,
+                                    deep_cache=cache, **kw)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(cache2), np.asarray(cache))
+
+
+def test_unet_block_cache_skips_deep_compute():
+    """A cached pass must not read the deep parameters: poisoning the mid
+    block with NaNs changes nothing when deep_cache is supplied."""
+    cfg = UNetConfig.tiny(cross_attention_dim=16, sdxl=False)
+    params = unet.init(jax.random.PRNGKey(11), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(13), (1, 5, 16))
+    t = jnp.asarray([100.0])
+    _, cache = unet.forward(params, cfg, x, t, ctx, return_cache=True)
+    poisoned = jax.tree_util.tree_map(lambda a: a, params)
+    poisoned["mid_block"] = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, jnp.nan), poisoned["mid_block"])
+    out, _ = unet.forward(poisoned, cfg, x, t, ctx, deep_cache=cache)
+    assert np.isfinite(np.asarray(out)).all()

@@ -242,3 +242,27 @@ def test_emu2_37b_fits_v5e8_when_quantized():
     kv = (lm.num_hidden_layers * 8 * 2048
           * lm.num_attention_heads * lm.head_dim * 2 * 2) / 8
     assert per_chip + kv < 0.6 * HBM
+
+
+def test_pipelines_block_cache_interval():
+    """cache_interval > 1 (UNet block caching) runs both pipelines'
+    grouped denoise loops end-to-end, including a steps % interval != 0
+    overhang, and produces finite images of the right size."""
+    from PIL import Image
+    from emu_tpu.pipelines.emu1_pipeline import EmuGenerationPipeline
+    from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
+
+    pipe = EmuVisualGeneration.from_config(tiny=True, dtype=jnp.float32)
+    pipe.tokenizer = _tiny_tokenizer("emu2")
+    out = pipe("a photo of a cat", num_inference_steps=3, height=32,
+               width=32, cache_interval=2)        # 3 steps → 2 groups
+    assert out.image.size == (32, 32)
+
+    pipe1 = EmuGenerationPipeline.from_config(tiny=True, dtype=jnp.float32)
+    pipe1.tokenizer = _tiny_tokenizer("emu1")
+    img = Image.fromarray(np.zeros((40, 40, 3), "uint8"))
+    out1, _ = pipe1([img, "a dog"], height=32, width=32,
+                    num_inference_steps=4, guidance_scale=7.5,
+                    cache_interval=3)
+    assert out1.size == (32, 32)
+    assert np.asarray(out1).shape == (32, 32, 3)
