@@ -199,8 +199,12 @@ def bench_vit_4b_encode(batch=8, k=10, int8: bool = False):
     return batch * k / dt
 
 
-def bench_sdxl_unet_step(size=128, k=5):
-    """Emu2-Gen SDXL-class UNet at the real 1024² latent size (128²)."""
+def bench_sdxl_unet_step(size=128, k=5, cache_interval=1):
+    """Emu2-Gen SDXL-class UNet at the real 1024² latent size (128²).
+
+    cache_interval > 1 measures the DeepCache-style block-cached lane:
+    each group runs 1 full + (interval-1) shallow passes; the reported
+    number is EFFECTIVE steps/sec (steps of denoising progress/sec)."""
     from emu_tpu.config import UNetConfig
     from emu_tpu.diffusion import unet
     cfg = UNetConfig.emu2_sdxl()
@@ -217,14 +221,26 @@ def bench_sdxl_unet_step(size=128, k=5):
     @jax.jit
     def loop(p, x):
         def body(i, x):
-            out = unet.forward(p, cfg, x, t, ctx,
-                               added_text_embeds=text_embeds,
-                               added_time_ids=tids)
+            if cache_interval == 1:
+                out = unet.forward(p, cfg, x, t, ctx,
+                                   added_text_embeds=text_embeds,
+                                   added_time_ids=tids)
+            else:
+                out, cache = unet.forward(p, cfg, x, t, ctx,
+                                          added_text_embeds=text_embeds,
+                                          added_time_ids=tids,
+                                          return_cache=True)
+                for _ in range(cache_interval - 1):
+                    out, _ = unet.forward(p, cfg, out * 0.5 + x * 0.5, t,
+                                          ctx,
+                                          added_text_embeds=text_embeds,
+                                          added_time_ids=tids,
+                                          deep_cache=cache)
             return out * 0.5 + x * 0.5
         return jax.lax.fori_loop(0, k, body, x)
 
     dt = _time_call(loop, params, lat)
-    return k / dt
+    return k * cache_interval / dt
 
 
 def bench_unet_step(size=64, k=25):
@@ -372,7 +388,11 @@ def main():
                                full_depth=True),
              "captions/s/chip"),
             ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
-            ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s")):
+            ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s"),
+            ("SDXL-class UNet CFG 128^2 block-cached interval=3 "
+             "(approximate; effective steps)",
+             functools.partial(bench_sdxl_unet_step, cache_interval=3),
+             "steps/s")):
         run(name, fn, unit)
 
 
