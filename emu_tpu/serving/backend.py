@@ -110,6 +110,8 @@ class EmuHTTPServer:
             extra["height"] = int(form["height"])
         if "width" in form:
             extra["width"] = int(form["width"])
+        if "cache_interval" in form:      # UNet block caching (approximate)
+            extra["cache_interval"] = max(1, int(form["cache_interval"]))
         logger.info("%s: generation request cfg=%s steps=%s %s", log_id, cfg,
                     steps, extra)
         pipeline = self.generation_helper.get()
