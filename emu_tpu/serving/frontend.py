@@ -209,6 +209,8 @@ FRONTEND_HTML = """<!DOCTYPE html>
  <label>steps <input id="steps" type="number" value="50"></label>
  <label>height <input id="genh" type="number" placeholder="default"></label>
  <label>width <input id="genw" type="number" placeholder="default"></label>
+ <label>cache interval <input id="gencache" type="number" value="1"
+  title="UNet block caching: reuse deep features for N-1 of every N steps (faster, approximate)"></label>
 </div>
 <button onclick="gen()">Generate</button>
 <div><img id="genout" class="result"></div>
@@ -244,6 +246,8 @@ async function gen(){
  const w = document.getElementById("genw").value;
  if (h) extra.height = h;
  if (w) extra.width = w;
+ const ci = document.getElementById("gencache").value;
+ if (ci && ci > 1) extra.cache_interval = ci;
  const res = await post("/v1/mmg",
   {text: document.getElementById("gentext").value, extra},
   document.getElementById("genimg"));
