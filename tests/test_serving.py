@@ -103,6 +103,21 @@ def test_mmg_generation_route(server_port):
     assert img.format == "WEBP"
 
 
+def test_mmg_cache_interval_field(server_port):
+    """UNet block caching reachable over the wire: cache_interval=2
+    drives the grouped denoise loop and still returns a WEBP."""
+    res = _post(server_port, "/v1/mmg",
+                {"log_id": "t2c",
+                 "prompt": json.dumps([["TEXT", "a cat"]]),
+                 "classifier_free_guidance": "2.0", "steps": "3",
+                 "height": "32", "width": "32", "cache_interval": "2"},
+                {})
+    assert res["code"] == 0
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(res["data"])))
+    assert img.size == (32, 32)
+
+
 def test_unknown_route_404(server_port):
     body, ctype = _multipart({"prompt": "[]"}, {})
     req = urllib.request.Request(
