@@ -199,16 +199,20 @@ def bench_vit_4b_encode(batch=8, k=10, int8: bool = False):
     return batch * k / dt
 
 
-def bench_sdxl_unet_step(size=128, k=5, cache_interval=1):
+def bench_sdxl_unet_step(size=128, k=5, cache_interval=1, int8=False):
     """Emu2-Gen SDXL-class UNet at the real 1024² latent size (128²).
 
     cache_interval > 1 measures the DeepCache-style block-cached lane:
     each group runs 1 full + (interval-1) shallow passes; the reported
-    number is EFFECTIVE steps/sec (steps of denoising progress/sec)."""
+    number is EFFECTIVE steps/sec (steps of denoising progress/sec).
+    int8=True quantizes the Transformer2D interior W8A8 (UNET_PATTERNS)."""
     from emu_tpu.config import UNetConfig
     from emu_tpu.diffusion import unet
     cfg = UNetConfig.emu2_sdxl()
     params = unet.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if int8:
+        from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
+        params = quantize_tree(params, UNET_PATTERNS, act_quant=True)
     lat = jax.random.normal(jax.random.PRNGKey(1), (2, size, size, 4),
                             jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 1792),
@@ -392,6 +396,9 @@ def main():
             ("SDXL-class UNet CFG 128^2 block-cached interval=3 "
              "(approximate; effective steps)",
              functools.partial(bench_sdxl_unet_step, cache_interval=3),
+             "steps/s"),
+            ("SDXL-class UNet CFG 128^2 W8A8 transformer interior",
+             functools.partial(bench_sdxl_unet_step, int8=True),
              "steps/s")):
         run(name, fn, unit)
 

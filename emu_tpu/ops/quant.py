@@ -140,6 +140,14 @@ VIT_PATTERNS = (
     r"blocks/mlp/(fc1|fc2|w1|w2|w3)/kernel$",
 )
 
+# UNet Transformer2D interior: attention projections, GEGLU FF, and the
+# (linear-projection) in/out projections — the MXU-bound majority of an
+# SDXL-class step at 128² latents. Convs/resnets/time-embeds stay float.
+UNET_PATTERNS = (
+    r"attn[12]/to_(q|k|v|out)/kernel$",
+    r"proj_(in|out)/kernel$",
+)
+
 
 def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                   bits: int = 8, group_size: int = 128,
@@ -166,6 +174,7 @@ def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
             for k, v in tree.items():
                 sub = f"{path}/{k}" if path else k
                 if (k == "kernel" and isinstance(v, jax.Array)
+                        and v.ndim <= 3    # matmul kernels only, not convs
                         and any(r.search(sub) for r in regexes)):
                     if bits == 4:
                         out.update(chunked(
@@ -180,6 +189,8 @@ def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                 else:
                     out[k] = walk(v, sub)
             return out
+        if isinstance(tree, list):              # e.g. UNet block lists
+            return [walk(v, f"{path}/{i}") for i, v in enumerate(tree)]
         return tree
 
     return walk(params)

@@ -271,3 +271,38 @@ def test_unet_block_cache_skips_deep_compute():
         lambda a: jnp.full_like(a, jnp.nan), poisoned["mid_block"])
     out, _ = unet.forward(poisoned, cfg, x, t, ctx, deep_cache=cache)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_w8a8_transformer_blocks():
+    """W8A8 quantization of the Transformer2D interior (UNET_PATTERNS):
+    output stays close to fp32 on tiny weights; conv-projection (SD1.5
+    use_linear_projection=False) configs keep their conv kernels
+    untouched and still run."""
+    from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
+
+    for sdxl in (True, False):
+        cfg = UNetConfig.tiny(cross_attention_dim=16, sdxl=sdxl)
+        params = unet.init(jax.random.PRNGKey(21), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(22), (2, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(23), (2, 5, 16))
+        kw = {}
+        if sdxl:
+            kw = dict(added_text_embeds=jnp.mean(ctx, axis=1),
+                      added_time_ids=jnp.tile(
+                          jnp.asarray([[8., 8., 0., 0., 8., 8.]]), (2, 1)))
+        t = jnp.asarray([10.0, 500.0])
+        ref = np.asarray(unet.forward(params, cfg, x, t, ctx, **kw))
+        qp = quantize_tree(params, UNET_PATTERNS, act_quant=True)
+        n_q = len(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda _: 1, qp, is_leaf=lambda d: isinstance(d, dict)
+                and "kernel_w8a8" in d)))
+        out = np.asarray(unet.forward(qp, cfg, x, t, ctx, **kw))
+        assert np.isfinite(out).all()
+        err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert err < 0.15, err
+        # quantized + block-cached compose
+        o1, cache = unet.forward(qp, cfg, x, t, ctx, return_cache=True,
+                                 **kw)
+        o2, _ = unet.forward(qp, cfg, x, t, ctx, deep_cache=cache, **kw)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
