@@ -54,6 +54,15 @@ class EmuVisualGeneration:
         self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
         self.negative_prompt = {}          # CFG negative cache (ref :65)
 
+    def quantize_unet(self) -> "EmuVisualGeneration":
+        """W8A8-quantize the UNet's Transformer2D interior in place (the
+        MXU-bound majority of an SDXL step; int8 MXU sustains ~1.7x the
+        bf16 rate on v5e). Opt-in; composes with cache_interval."""
+        from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
+        self.unet_params = quantize_tree(self.unet_params, UNET_PATTERNS,
+                                         act_quant=True)
+        return self
+
     @classmethod
     def from_config(cls, seed: int = 0, dtype=jnp.bfloat16,
                     tiny: bool = False, **kwargs) -> "EmuVisualGeneration":
