@@ -49,6 +49,15 @@ class EmuGenerationPipeline:
             T.IMG + T.IMAGE * emu_cfg.n_causal + T.IMG_END)
         self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
 
+    def quantize_unet(self) -> "EmuGenerationPipeline":
+        """W8A8-quantize the UNet's Transformer2D interior in place
+        (attention/FF matmuls only; the SD1.5 conv projections stay
+        float). Opt-in; composes with cache_interval."""
+        from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
+        self.unet_params = quantize_tree(self.unet_params, UNET_PATTERNS,
+                                         act_quant=True)
+        return self
+
     @classmethod
     def from_config(cls, seed: int = 0, dtype=jnp.bfloat16, tiny: bool = False,
                     **kwargs) -> "EmuGenerationPipeline":
