@@ -99,6 +99,38 @@ def main():
                     .astype(jnp.bfloat16)), o)
     report("XLA proj dense", dt, gf_proj)
 
+    # --- the CURRENT production path (vit._fused_attn_branch): head-major
+    # einsum projections + the BHSD kernel -------------------------------
+    from emu_tpu.ops.flash_attention import bhsd_plan, mha_bhsd
+    plan = bhsd_plan(H, D, S, 2)
+    s_pad = plan[2]
+    print(f"bhsd plan (hb, bq, s_pad) = {plan}")
+    wqkv4 = wqkv.reshape(W, 3, H, D)
+    qb = jnp.zeros((H * D,), jnp.bfloat16)
+
+    def qkv_bhsd(xx):
+        src = jnp.pad(xx, ((0, 0), (0, s_pad - S), (0, 0)))
+        return [jnp.einsum("bsm,mhd->bhsd", src, wqkv4[:, t],
+                           preferred_element_type=jnp.float32
+                           ).astype(xx.dtype) for t in range(3)]
+
+    dt = _time(loop(lambda xx: qkv_bhsd(xx)[2]), x)
+    report("3x head-major qkv einsum (pad)", dt, gf_qkv)
+
+    qp, kp, vp = (jnp.pad(
+        jax.random.normal(next(ks), (B, H, S, D), jnp.bfloat16),
+        ((0, 0), (0, 0), (0, s_pad - S), (0, 0))) for _ in range(3))
+    dt = _time(loop(lambda qq: mha_bhsd(qq, kp, vp, qb, qb,
+                                        scale=D ** -0.5, s_real=S)), qp)
+    report("mha_bhsd kernel", dt, gf_mha)
+
+    ob = jax.random.normal(next(ks), (B, H, s_pad, D), jnp.bfloat16)
+    wproj3 = wproj.reshape(H, D, W)
+    dt = _time(loop(lambda oo: jnp.einsum(
+        "bhsd,hdw->bsw", oo, wproj3,
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)), ob)
+    report("head-major proj einsum", dt, gf_proj)
+
     gf_mlp = 2 * 2 * M * W * HID / 1e9
     dt = _time(loop(lambda xx: fused_mlp(
         xx, w1, b1, w2, b2, ln_mode="pre", residual=True, eps=1e-6,
