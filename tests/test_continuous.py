@@ -108,3 +108,31 @@ def test_int8_kv_cache_matches():
         return [res[i] for i in ids]
 
     assert run(False) == run(True)
+
+
+def test_tp_sharded_params_match_replicated():
+    """Continuous batching over TENSOR-PARALLEL params: the engine's
+    jitted prefill/step programs run with the decoder sharded over a
+    (1, 4) mesh ("model" axis) and produce the same token streams as
+    replicated params — the serving-on-a-mesh-slice configuration."""
+    from emu_tpu.parallel import make_mesh, shard_params
+    from emu_tpu.models.llama import sharding_rules
+
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 13)]
+
+    def run(p):
+        eng = ContinuousEngine(p, CFG, max_slots=2, max_len=64,
+                               prefill_buckets=(8, 16), eos_token_id=eos)
+        ids = [eng.submit(embeds_for(pr), jnp.ones((1, len(pr)), jnp.int32),
+                          10) for pr in prompts]
+        res = eng.run_until_drained()
+        return [res[i] for i in ids]
+
+    want = run(params)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    sharded = shard_params(params, mesh, sharding_rules)
+    got = run(sharded)
+    assert got == want, (got, want)
