@@ -316,7 +316,15 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S, 3),
     }), flush=True)
+    # EMU_TPU_BENCH_ONLY=<substring>[,<substring>]: run just the matching
+    # secondary lanes — for quick A/Bs on the shared chip without paying
+    # for the whole suite. Unset = all lanes.
+    only = [s for s in os.environ.get("EMU_TPU_BENCH_ONLY", "").split(",")
+            if s.strip()]
+
     def run(name, fn, unit):
+        if only and not any(s.lower() in name.lower() for s in only):
+            return
         try:
             print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
