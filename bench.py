@@ -211,8 +211,8 @@ def bench_sdxl_unet_step(size=128, k=5, cache_interval=1, int8=False):
     cfg = UNetConfig.emu2_sdxl()
     params = unet.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if int8:
-        from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
-        params = quantize_tree(params, UNET_PATTERNS, act_quant=True)
+        from emu_tpu.ops.quant import quantize_unet_params
+        params = quantize_unet_params(params)
     lat = jax.random.normal(jax.random.PRNGKey(1), (2, size, size, 4),
                             jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 1792),
@@ -319,7 +319,8 @@ def main():
     # EMU_TPU_BENCH_ONLY=<substring>[,<substring>]: run just the matching
     # secondary lanes — for quick A/Bs on the shared chip without paying
     # for the whole suite. Unset = all lanes.
-    only = [s for s in os.environ.get("EMU_TPU_BENCH_ONLY", "").split(",")
+    only = [s.strip() for s in
+            os.environ.get("EMU_TPU_BENCH_ONLY", "").split(",")
             if s.strip()]
 
     def run(name, fn, unit):

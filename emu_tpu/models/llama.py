@@ -413,74 +413,17 @@ def prefill(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
     return hidden, cache
 
 
-def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
-                token_embeds: jax.Array, slot: jax.Array,
-                slot_mask: jax.Array, positions: jax.Array
-                ) -> Tuple[jax.Array, dict]:
-    """One decode step.
+def _deferred_decode(params: dict, cfg: LlamaConfig, cache: dict,
+                     token_embeds: jax.Array, rows, cache_mask: jax.Array,
+                     commit_idx) -> Tuple[jax.Array, dict]:
+    """Shared deferred-write decode body.
 
-    token_embeds: [B, 1, D]; slot: scalar cache index to write; slot_mask:
-    [B, max_len] bool validity of cache slots up to and including `slot`;
-    positions: [B] rope positions of the new token. Returns
-    (post-norm hidden [B, 1, D], updated cache).
-
-    Cache writes are DEFERRED out of the layer scan: the scan reads the
-    cache as a closure constant, each layer's new k/v row rides out as
-    scan ys (attention folds it as an exact extra column — see
-    cache_attention k_new/v_new), and _cache_write_all commits all
-    layers in one update per plane after the scan.
-    """
-    b = token_embeds.shape[0]
-    max_len = cache["k"].shape[3]
-    rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
-                              positions[:, None])
-    # the current token's row is not in the cache during the scan
-    cache_mask = jnp.logical_and(slot_mask,
-                                 jnp.arange(max_len)[None] != slot)
-
-    def body(x, xs):
-        p, i = xs
-
-        def defer(k_new, v_new):
-            kv = _cache_kv(cache, i, x.dtype)
-            kv["k_new"] = k_new.transpose(0, 2, 1, 3)
-            kv["v_new"] = v_new.transpose(0, 2, 1, 3)
-            return kv, jnp.stack([kv["k_new"], kv["v_new"]])
-
-        x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
-        return x, rows_new
-
-    x, new_rows = jax.lax.scan(
-        body, token_embeds,
-        (params["layers"], jnp.arange(cfg.num_hidden_layers)))
-    cache = _cache_write_all(cache, new_rows, slot)
-    hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, cache
-
-
-def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
-                 token_embeds: jax.Array, slot: jax.Array,
-                 valid_len: jax.Array, positions: jax.Array
-                 ) -> Tuple[jax.Array, dict]:
-    """Decode a CHUNK of q tokens against the cache in one forward.
-
-    The speculative-decoding verify step: token_embeds [B, q, D] occupy
-    cache slots [slot, slot+q); query i attends the committed cache
-    positions (all j < valid_len) plus chunk columns <= i. valid_len [B]:
-    count of valid slots before the chunk (== slot when there is no
-    padding). Returns (post-norm hidden [B, q, D], cache).
-
-    Same deferred-write design as decode_step: the chunk's k/v ride as
-    extra attention columns (with the intra-chunk causal triangle applied
-    by the attention backend), the cache is a read-only scan closure, and
-    all layers commit in one update per plane after the scan — this also
-    keeps the verify chunk on the single-launch Pallas decode kernel
-    (int8 caches consumed natively) instead of the dense-mask XLA path."""
-    b, qn, _ = token_embeds.shape
-    max_len = cache["k"].shape[3]
-    rows = R.gather_rope_rows(*rope_tables(cfg, max_len), positions)
-    cache_mask = jnp.arange(max_len)[None] < valid_len[:, None]
-
+    The layer scan reads the cache as a closure constant; each layer's
+    new k/v rows ride out as scan ys (attention folds them as exact
+    extra columns — see cache_attention k_new/v_new), and
+    _cache_write_all commits all layers in one update per plane after
+    the scan. cache_mask must EXCLUDE the in-flight slots; commit_idx is
+    a scalar slot or a (bidx, slots) pair."""
     def body(x, xs):
         p, i = xs
 
@@ -496,9 +439,54 @@ def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
     x, new_rows = jax.lax.scan(
         body, token_embeds,
         (params["layers"], jnp.arange(cfg.num_hidden_layers)))
-    cache = _cache_write_all(cache, new_rows, slot)
+    cache = _cache_write_all(cache, new_rows, commit_idx)
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, cache
+
+
+def decode_step(params: dict, cfg: LlamaConfig, cache: dict,
+                token_embeds: jax.Array, slot: jax.Array,
+                slot_mask: jax.Array, positions: jax.Array
+                ) -> Tuple[jax.Array, dict]:
+    """One decode step.
+
+    token_embeds: [B, 1, D]; slot: scalar cache index to write; slot_mask:
+    [B, max_len] bool validity of cache slots up to and including `slot`;
+    positions: [B] rope positions of the new token. Returns
+    (post-norm hidden [B, 1, D], updated cache).
+
+    Cache writes are DEFERRED out of the layer scan (_deferred_decode)."""
+    max_len = cache["k"].shape[3]
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
+                              positions[:, None])
+    # the current token's row is not in the cache during the scan
+    cache_mask = jnp.logical_and(slot_mask,
+                                 jnp.arange(max_len)[None] != slot)
+    return _deferred_decode(params, cfg, cache, token_embeds, rows,
+                            cache_mask, slot)
+
+
+def decode_chunk(params: dict, cfg: LlamaConfig, cache: dict,
+                 token_embeds: jax.Array, slot: jax.Array,
+                 valid_len: jax.Array, positions: jax.Array
+                 ) -> Tuple[jax.Array, dict]:
+    """Decode a CHUNK of q tokens against the cache in one forward.
+
+    The speculative-decoding verify step: token_embeds [B, q, D] occupy
+    cache slots [slot, slot+q); query i attends the committed cache
+    positions (all j < valid_len) plus chunk columns <= i. valid_len [B]:
+    count of valid slots before the chunk (== slot when there is no
+    padding). Returns (post-norm hidden [B, q, D], cache).
+
+    Deferred writes (_deferred_decode) keep the verify chunk on the
+    single-launch Pallas decode kernel (intra-chunk causal triangle
+    applied by the attention backend; int8 caches consumed natively)
+    instead of the dense-mask XLA path."""
+    max_len = cache["k"].shape[3]
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len), positions)
+    cache_mask = jnp.arange(max_len)[None] < valid_len[:, None]
+    return _deferred_decode(params, cfg, cache, token_embeds, rows,
+                            cache_mask, slot)
 
 
 def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
@@ -513,33 +501,15 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
     row's own new slot. Returns (post-norm hidden [B, 1, D], cache).
 
     Cache writes are deferred out of the layer scan exactly as in
-    decode_step (see there)."""
+    decode_step (_deferred_decode)."""
     b = token_embeds.shape[0]
     max_len = cache["k"].shape[3]
     rows = R.gather_rope_rows(*rope_tables(cfg, max_len),
                               positions[:, None])
-    bidx = jnp.arange(b)
     cache_mask = jnp.logical_and(
         slot_mask, jnp.arange(max_len)[None] != slots[:, None])
-
-    def body(x, xs):
-        p, i = xs
-
-        def defer(k_new, v_new):
-            kv = _cache_kv(cache, i, x.dtype)
-            kv["k_new"] = k_new.transpose(0, 2, 1, 3)
-            kv["v_new"] = v_new.transpose(0, 2, 1, 3)
-            return kv, jnp.stack([kv["k_new"], kv["v_new"]])
-
-        x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
-        return x, rows_new
-
-    x, new_rows = jax.lax.scan(
-        body, token_embeds,
-        (params["layers"], jnp.arange(cfg.num_hidden_layers)))
-    cache = _cache_write_all(cache, new_rows, (bidx, slots))
-    hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, cache
+    return _deferred_decode(params, cfg, cache, token_embeds, rows,
+                            cache_mask, (jnp.arange(b), slots))
 
 
 def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:

@@ -149,6 +149,12 @@ UNET_PATTERNS = (
 )
 
 
+def quantize_unet_params(params):
+    """The one UNet quantization recipe (W8A8 Transformer2D interior) —
+    shared by both pipelines' quantize_unet() and the bench int8 lane."""
+    return quantize_tree(params, UNET_PATTERNS, act_quant=True)
+
+
 def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                   bits: int = 8, group_size: int = 128,
                   act_quant: bool = False, layer_chunked: bool = False):

@@ -53,9 +53,8 @@ class EmuGenerationPipeline:
         """W8A8-quantize the UNet's Transformer2D interior in place
         (attention/FF matmuls only; the SD1.5 conv projections stay
         float). Opt-in; composes with cache_interval."""
-        from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
-        self.unet_params = quantize_tree(self.unet_params, UNET_PATTERNS,
-                                         act_quant=True)
+        from emu_tpu.ops.quant import quantize_unet_params
+        self.unet_params = quantize_unet_params(self.unet_params)
         return self
 
     @classmethod

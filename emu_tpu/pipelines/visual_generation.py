@@ -58,9 +58,8 @@ class EmuVisualGeneration:
         """W8A8-quantize the UNet's Transformer2D interior in place (the
         MXU-bound majority of an SDXL step; int8 MXU sustains ~1.7x the
         bf16 rate on v5e). Opt-in; composes with cache_interval."""
-        from emu_tpu.ops.quant import UNET_PATTERNS, quantize_tree
-        self.unet_params = quantize_tree(self.unet_params, UNET_PATTERNS,
-                                         act_quant=True)
+        from emu_tpu.ops.quant import quantize_unet_params
+        self.unet_params = quantize_unet_params(self.unet_params)
         return self
 
     @classmethod

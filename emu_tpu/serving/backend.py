@@ -69,16 +69,19 @@ class EmuHTTPServer:
     def handle_mmc(self, form: Dict[str, str], files: Dict[str, bytes]
                    ) -> dict:
         log_id = form.get("log_id", "")
-        kwargs = dict(
-            do_sample=form.get("do_sample", "False").lower() == "true",
-            max_new_tokens=int(form.get("max_new_tokens", 10)),
-            temperature=float(form.get("temperature", 0.7)),
-            top_k=int(form.get("top_k", 3)),
-            top_p=float(form.get("top_p", 0.9)),
-            length_penalty=float(form.get("length_penalty", 1)),
-            num_beams=int(form.get("num_beams", 5)),
-            repetition_penalty=float(form.get("repetition_penalty", 1.0)),
-        )
+        try:
+            kwargs = dict(
+                do_sample=form.get("do_sample", "False").lower() == "true",
+                max_new_tokens=int(form.get("max_new_tokens", 10)),
+                temperature=float(form.get("temperature", 0.7)),
+                top_k=int(form.get("top_k", 3)),
+                top_p=float(form.get("top_p", 0.9)),
+                length_penalty=float(form.get("length_penalty", 1)),
+                num_beams=int(form.get("num_beams", 5)),
+                repetition_penalty=float(form.get("repetition_penalty", 1.0)),
+            )
+        except ValueError as ex:        # malformed numeric form field →
+            return {"code": -1, "data": f"bad form field: {ex}"}
         if "speculative" in form:       # continuous-backend extension
             kwargs["speculative"] = form["speculative"].lower() == "true"
         logger.info("%s: chat request %s", log_id, kwargs)
@@ -101,17 +104,20 @@ class EmuHTTPServer:
     def handle_mmg(self, form: Dict[str, str], files: Dict[str, bytes]
                    ) -> dict:
         log_id = form.get("log_id", "")
-        cfg = float(form.get("classifier_free_guidance", 3.0))
-        steps = int(form.get("steps", 50))
-        extra = {}
-        # optional resolution/seed fields (extension over the reference API,
-        # which hardcodes the pipeline defaults)
-        if "height" in form:
-            extra["height"] = int(form["height"])
-        if "width" in form:
-            extra["width"] = int(form["width"])
-        if "cache_interval" in form:      # UNet block caching (approximate)
-            extra["cache_interval"] = max(1, int(form["cache_interval"]))
+        try:
+            cfg = float(form.get("classifier_free_guidance", 3.0))
+            steps = int(form.get("steps", 50))
+            extra = {}
+            # optional resolution/caching fields (extension over the
+            # reference API, which hardcodes the pipeline defaults)
+            if "height" in form:
+                extra["height"] = int(form["height"])
+            if "width" in form:
+                extra["width"] = int(form["width"])
+            if "cache_interval" in form:  # UNet block caching (approximate)
+                extra["cache_interval"] = max(1, int(form["cache_interval"]))
+        except ValueError as ex:          # malformed numeric form field →
+            return {"code": -1, "data": f"bad form field: {ex}"}
         logger.info("%s: generation request cfg=%s steps=%s %s", log_id, cfg,
                     steps, extra)
         pipeline = self.generation_helper.get()
