@@ -64,9 +64,16 @@ def pipeline_forward(stage_fn: Callable, stage_params, micro_tree,
             jnp.where(s == last, o, jnp.zeros_like(o)), axis), outs)
 
     specs = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
+    # only the pipe axis goes manual: any other mesh axes ("data",
+    # "model") stay auto, so DP batch sharding and TP weight sharding
+    # ride through GSPMD *inside* each stage — one program runs 3D
+    # DP x PP x TP parallelism
+    # check_vma must stay on: with it off, shard_map expands out_specs
+    # over ALL mesh axes and rejects the auto ones. The closing psum
+    # makes every output replicated over `axis`, so the check passes.
     return jax.shard_map(body, mesh=mesh, in_specs=(specs, P()),
-                         out_specs=P(), check_vma=False)(stage_params,
-                                                         micro_tree)
+                         out_specs=P(),
+                         axis_names={axis})(stage_params, micro_tree)
 
 
 def pipeline_llama_hidden(params: dict, cfg, inputs_embeds: jax.Array,

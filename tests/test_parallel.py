@@ -121,3 +121,56 @@ def test_pipeline_parallel_matches_sequential():
     out = pipeline_llama_hidden(params, cfg, embeds, mask, mesh, n_micro=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_composes_with_dp_tp():
+    """3D parallelism in one program: a ("data", "pipe", "model") =
+    (2, 2, 2) mesh runs GPipe over "pipe" while the batch shards over
+    "data" and the per-stage weights shard over "model" (only the pipe
+    axis goes manual in the shard_map; the others stay auto/GSPMD).
+    Output must match the replicated sequential forward."""
+    import re
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.models import llama
+    from emu_tpu.parallel import make_mesh, pipeline_llama_hidden
+
+    mesh = make_mesh((2, 2, 2), axis_names=("data", "pipe", "model"))
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=4, num_attention_heads=4,
+                      vocab_size=128, extended_vocab_size=128)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ref_params = params
+
+    # stacked layer tensors: "pipe" on the layer axis + the TP rule's
+    # "model" placement; everything else replicated
+    def place(path, leaf):
+        spec = P()
+        for pat, s in llama.sharding_rules:
+            if re.search(pat, path):
+                spec = P(*(("pipe",) + tuple(s)[1:]))
+                break
+        else:
+            if path.startswith("layers/"):
+                spec = P("pipe")
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}" if path else k)
+                    for k, v in tree.items()}
+        return place(path, tree)
+
+    params = walk(params)
+    ids = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (8, 1)) % 120
+    mask = jnp.ones_like(ids)
+    embeds = llama.embed(ref_params, ids)
+    ref = llama.forward_hidden(ref_params, cfg, embeds, mask)
+    embeds_d = jax.device_put(embeds, NamedSharding(mesh, P("data")))
+    out = pipeline_llama_hidden(params, cfg, embeds_d, mask, mesh,
+                                n_micro=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
