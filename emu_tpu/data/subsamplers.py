@@ -109,7 +109,14 @@ class AudioRateSubsampler:
     def __init__(self, sample_rate: int = 16000,
                  encode_formats: Optional[Dict] = None):
         self.sample_rate = sample_rate
+        # target audio container (the reference's encode_formats["audio"]);
+        # only wav is producible without ffmpeg — anything else is an
+        # up-front config error rather than a silent per-sample failure
         self.ext = (encode_formats or {}).get("audio", "wav")
+        if self.ext != "wav":
+            raise ValueError(
+                f"AudioRateSubsampler: target format {self.ext!r} needs "
+                "ffmpeg (not in this image); only 'wav' is supported")
 
     def _resample_wav(self, data: bytes) -> bytes:
         import wave
@@ -141,12 +148,17 @@ class AudioRateSubsampler:
     def __call__(self, streams, meta):
         try:
             out = dict(streams)
-            for ext in ("wav", "flac", "mp3", "m4a"):
-                if ext not in streams:
-                    continue
-                if ext != "wav":
-                    return streams, meta, (
-                        f"audio codec .{ext} unsupported without ffmpeg")
+            unsupported = [e for e in ("flac", "mp3", "m4a")
+                           if e in streams]
+            if unsupported:
+                # keep any completed wav resample? No: mirror the
+                # reference's per-sample all-or-nothing error contract,
+                # but report BEFORE doing work so nothing is discarded
+                return streams, meta, (
+                    "audio codec(s) "
+                    + ", ".join(f".{e}" for e in unsupported)
+                    + " unsupported without ffmpeg")
+            if "wav" in streams:
                 out["wav"] = self._resample_wav(streams["wav"])
                 meta["audio_rate"] = self.sample_rate
             return out, meta, None

@@ -53,16 +53,25 @@ def _xla_attention(q, k, v, bias, mask, kv_valid, scale, causal):
     return out.astype(q.dtype)
 
 
-def _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale, causal):
-    """Grouped-query attention without materializing repeated K/V: query
-    heads reshape to [.., Hkv, rep, D] and contract against the Hkv key
-    heads directly — the kv read stays 1/rep the MHA size (the whole
-    point of GQA's smaller cache)."""
+def _grouped_attention(q, k, v, bias, mask, kv_valid, scale, causal,
+                       kv_spec, skv, k_new=None, v_new=None):
+    """Shared grouped-attention body for both K/V layouts.
+
+    Query heads reshape to [.., Hkv, rep, D] and contract against the
+    Hkv key heads directly (no repeated-K/V materialization — the point
+    of GQA's smaller cache). kv_spec is the k/v einsum operand layout:
+    "bkgd" (token-major) or "bgkd" (head-major cache planes).
+
+    k_new/v_new [B, Hkv, Sq, D]: the current chunk's k/v as extra
+    columns appended to the logits (deferred-cache-write decode, see
+    llama.decode_step); requires masks that EXCLUDE the chunk's slots.
+    For Sq > 1 (speculative verify chunk) query i sees extra column j
+    iff j <= i (intra-chunk causality)."""
     b, sq, h, d = q.shape
-    skv, hkv = k.shape[1], k.shape[2]
+    hkv = k.shape[2] if kv_spec == "bkgd" else k.shape[1]
     rep = h // hkv
     q5 = q.reshape(b, sq, hkv, rep, d)
-    logits = jnp.einsum("bqgrd,bkgd->bgrqk", q5, k,
+    logits = jnp.einsum(f"bqgrd,{kv_spec}->bgrqk", q5, k,
                         preferred_element_type=jnp.float32)
     logits = logits * jnp.float32(scale)
     if bias is not None:
@@ -84,10 +93,32 @@ def _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale, causal):
         else:
             m5 = mask.reshape(b, hkv, rep, sq, skv)
         logits = jnp.where(m5, logits, _NEG_INF)
+    if k_new is not None:                      # extras are head-major
+        ln = jnp.einsum("bqgrd,bgkd->bgrqk", q5, k_new.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        ln = ln * jnp.float32(scale)
+        qn = k_new.shape[2]
+        if qn > 1:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (sq, qn), 0)
+            cj = jax.lax.broadcasted_iota(jnp.int32, (sq, qn), 1)
+            ln = jnp.where((cj <= qi)[None, None, None], ln, _NEG_INF)
+        logits = jnp.concatenate([logits, ln], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
+    out = jnp.einsum(f"bgrqk,{kv_spec}->bqgrd",
+                     probs[..., :skv].astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
+    if k_new is not None:
+        out = out + jnp.einsum("bgrqk,bgkd->bqgrd",
+                               probs[..., skv:].astype(q.dtype),
+                               v_new.astype(q.dtype),
+                               preferred_element_type=jnp.float32)
     return out.reshape(b, sq, h, d).astype(q.dtype)
+
+
+def _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale, causal):
+    """Grouped-query attention over token-major [B, Skv, Hkv, D] k/v."""
+    return _grouped_attention(q, k, v, bias, mask, kv_valid, scale, causal,
+                              "bkgd", k.shape[1])
 
 
 def dot_product_attention(
@@ -127,55 +158,10 @@ def _xla_attention_bhsd(q, k, v, mask, kv_valid, scale, causal,
                         k_new=None, v_new=None):
     """Attention against HEAD-MAJOR k/v [B, Hkv, Skv, D] (the cache-
     resident layout) without materializing a layout change; GQA handled
-    grouped. q [B, Sq, H, D] → [B, Sq, H, D].
-
-    k_new/v_new [B, Hkv, Sq, D]: the current chunk's k/v as extra columns
-    appended to the logits (deferred-cache-write decode, see
-    llama.decode_step); requires masks that EXCLUDE the chunk's slots.
-    For Sq > 1 (speculative verify chunk) query i sees extra column j iff
-    j <= i (intra-chunk causality)."""
-    b, sq, h, d = q.shape
-    hkv, skv = k.shape[1], k.shape[2]
-    rep = h // hkv
-    q5 = q.reshape(b, sq, hkv, rep, d)
-    logits = jnp.einsum("bqgrd,bgkd->bgrqk", q5, k,
-                        preferred_element_type=jnp.float32)
-    logits = logits * jnp.float32(scale)
-    if causal:
-        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
-        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
-        causal_mask = (ki <= qi + (skv - sq))[None, None, None]
-        logits = jnp.where(causal_mask, logits, _NEG_INF)
-    if kv_valid is not None:
-        logits = jnp.where(kv_valid[:, None, None, None, :].astype(bool),
-                           logits, _NEG_INF)
-    if mask is not None:
-        if mask.shape[1] == 1:
-            m5 = mask[:, :, None]
-        else:
-            m5 = mask.reshape(b, hkv, rep, sq, skv)
-        logits = jnp.where(m5, logits, _NEG_INF)
-    if k_new is not None:
-        ln = jnp.einsum("bqgrd,bgkd->bgrqk", q5,
-                        k_new.astype(q.dtype),
-                        preferred_element_type=jnp.float32)
-        ln = ln * jnp.float32(scale)
-        qn = k_new.shape[2]
-        if qn > 1:
-            qi = jax.lax.broadcasted_iota(jnp.int32, (sq, qn), 0)
-            cj = jax.lax.broadcasted_iota(jnp.int32, (sq, qn), 1)
-            ln = jnp.where((cj <= qi)[None, None, None], ln, _NEG_INF)
-        logits = jnp.concatenate([logits, ln], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bgrqk,bgkd->bqgrd",
-                     probs[..., :skv].astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    if k_new is not None:
-        out = out + jnp.einsum("bgrqk,bgkd->bqgrd",
-                               probs[..., skv:].astype(q.dtype),
-                               v_new.astype(q.dtype),
-                               preferred_element_type=jnp.float32)
-    return out.reshape(b, sq, h, d).astype(q.dtype)
+    grouped. q [B, Sq, H, D] → [B, Sq, H, D]. See _grouped_attention for
+    the k_new/v_new (deferred-cache-write) contract."""
+    return _grouped_attention(q, k, v, None, mask, kv_valid, scale, causal,
+                              "bgkd", k.shape[2], k_new=k_new, v_new=v_new)
 
 
 def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,

@@ -668,7 +668,11 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref, valid_ref,
     keep = jnp.logical_and(row < skv_real, col < sq_real)
     if causal:
         keep = jnp.logical_and(keep, row <= col + diag_offset)
-    keep = jnp.logical_and(keep, valid_ref[0, 0, :][:, None] > 0)
+    # valid rides as the WHOLE [nb, bk] row (resident; lane dim == array
+    # dim, Mosaic-legal for any bk) and block ik is sliced here — a
+    # per-block (1, 1, bk) lane slice would need bk % 128 == 0
+    vblk = valid_ref[0, pl.ds(ik, 1)].reshape(bk, 1)
+    keep = jnp.logical_and(keep, vblk > 0)
     pt = jnp.where(keep, jnp.exp(st - lse_ref[0, 0, :, 0][None, :]), 0.0)
 
     do = do_ref[0, 0]                                        # [Sq, D]
@@ -755,7 +759,8 @@ def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sq_pad, 1), whole_q,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk), lambda b_, h_, j: (b_, 0, j),
+            pl.BlockSpec((1, skv_pad // bk, bk),
+                         lambda b_, h_, j: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, 1, bk, d_pad), kblk,
@@ -765,7 +770,8 @@ def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
         out_shape=(jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), v.dtype)),
         interpret=interpret,
-    )(kt, vt, qt, dot, ot, lse_bhs, valid)
+    )(kt, vt, qt, dot, ot, lse_bhs,
+      valid.reshape(b, skv_pad // bk, bk))
 
     unpad = lambda x, s: x.transpose(0, 2, 1, 3)[:, :s, :, :d]
     return unpad(dq, sq), unpad(dk, skv), unpad(dv, skv)

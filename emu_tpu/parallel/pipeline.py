@@ -99,8 +99,11 @@ def pipeline_llama_hidden(params: dict, cfg, inputs_embeds: jax.Array,
              "mask": attention_mask.reshape(n_micro, mb, s)}
 
     def stage(p_slab, m):
+        # rope rows are constant across the stage's layers: gather once
+        # outside the layer scan (same hoist as llama.forward_hidden)
+        rows = R.gather_rope_rows(cos, sin, m["pos"])
+
         def layer_body(h, p):
-            rows = R.gather_rope_rows(cos, sin, m["pos"])
             h, _ = llama._layer(p, cfg, h, rows,
                                 lambda k, v: ((k, v), 0.0), m["mask"], True)
             return h, None

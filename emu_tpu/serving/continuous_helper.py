@@ -94,22 +94,38 @@ class ContinuousChatHelper:
                 fut.set_result(self.pipeline.tokenizer.decode(
                     toks, skip_special_tokens=True))
 
+    def _fail_all(self, ex: Exception):
+        """An engine step died: fail every in-flight future loudly
+        (rather than letting clients block to their 600 s timeout) and
+        keep the dispatcher alive for subsequent requests."""
+        logger.error("continuous dispatcher step failed: %s", ex,
+                     exc_info=True)
+        for rid, fut in list(self.waiting.items()):
+            if not fut.done():
+                fut.set_exception(ex)
+            self.waiting.pop(rid, None)
+        self.engine.requests.clear()
+        self.engine.slot_req = [None] * self.engine.max_slots
+
     def _dispatch(self):
         while not self._stop:
-            while self.engine.free_slots() > 0:
-                try:
-                    self._admit(self.pending.get_nowait())
-                except queue.Empty:
-                    break
-            if any(r is not None for r in self.engine.slot_req):
-                self.engine.step()
-                self._resolve_finished()
-                continue
-            self._resolve_finished()        # submit-time completions
             try:
-                self._admit(self.pending.get(timeout=self.poll_s))
-            except queue.Empty:
-                pass
+                while self.engine.free_slots() > 0:
+                    try:
+                        self._admit(self.pending.get_nowait())
+                    except queue.Empty:
+                        break
+                if any(r is not None for r in self.engine.slot_req):
+                    self.engine.step()
+                    self._resolve_finished()
+                    continue
+                self._resolve_finished()    # submit-time completions
+                try:
+                    self._admit(self.pending.get(timeout=self.poll_s))
+                except queue.Empty:
+                    pass
+            except Exception as ex:  # noqa: BLE001 — never kill the thread
+                self._fail_all(ex)
 
     # speculative side path --------------------------------------------------
 
