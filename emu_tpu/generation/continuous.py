@@ -58,7 +58,7 @@ class ContinuousEngine:
                  max_len: int = 512, prefill_buckets=(32, 64, 128, 256),
                  eos_token_id: Optional[int] = 2, temperature: float = 0.0,
                  cache_dtype=None, kv_cache_quant: bool = False,
-                 seed: int = 0):
+                 chunk_size: Optional[int] = None, seed: int = 0):
         self.params, self.cfg = params, cfg
         # 8-multiple capacity keeps the Pallas decode kernel eligible
         max_len = -(-max_len // 8) * 8
@@ -67,6 +67,14 @@ class ContinuousEngine:
                                     if b <= max_len))
         self.eos = -1 if eos_token_id is None else int(eos_token_id)
         self.temperature = float(temperature)
+        # chunked (Sarathi-style) admission: prompts longer than the
+        # largest prefill bucket stream into their slot chunk_size tokens
+        # per MIXED step, interleaved with every other slot's decode —
+        # no slot ever stalls behind a long prefill, and prompt length is
+        # bounded by max_len instead of the largest bucket. Keep <= 32
+        # so mixed steps stay on the Pallas decode kernel.
+        self.chunk_size = chunk_size
+        self._admissions: List[dict] = []
         self._rng = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
         self.requests: Dict[int, _Request] = {}
@@ -118,6 +126,64 @@ class ContinuousEngine:
                   active=still, n_generated=n_gen)
         return st, out_tok, active
 
+    @partial(jax.jit, static_argnums=(0,))
+    def _mixed_jit(self, params, state, chunk_emb, admit_slot, qlen,
+                   final, max_new_admit, rng):
+        """One MIXED step (chunked prefill): every active slot decodes
+        its next token (q column 0) while `admit_slot` consumes `qlen`
+        prompt tokens of `chunk_emb` [q, D]; when `final`, the admitting
+        row samples its first generated token from its last chunk
+        column. Inactive, non-admitting rows ride along masked."""
+        cfg = self.cfg
+        st = dict(state)
+        active = st["active"]
+        bidx = jnp.arange(self.max_slots)
+        q = chunk_emb.shape[0]
+        is_admit = bidx == admit_slot
+
+        base = llama.embed(params, st["last_token"][:, None])    # [B,1,D]
+        tok = jnp.zeros((self.max_slots, q, base.shape[-1]), base.dtype)
+        tok = tok.at[:, 0].set(base[:, 0])
+        tok = tok.at[admit_slot].set(chunk_emb.astype(base.dtype))
+        slots = st["write_idx"]
+        hid, cache = llama.decode_mixed_rows(params, cfg, st["cache"],
+                                             tok, slots, st["slot_mask"],
+                                             st["position"])
+        qidx = jnp.where(is_admit, qlen - 1, 0)
+        logits = llama.logits(params, hid[bidx, qidx])
+        if self.temperature > 0:
+            nxt = jax.random.categorical(rng, logits / self.temperature,
+                                         axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        # decode-row bookkeeping (identical to _step_jit)
+        n_gen = st["n_generated"] + active
+        out_tok = jnp.where(active, nxt, 0)
+        still = active & (nxt != self.eos) & (n_gen < st["max_new"])
+        sm = st["slot_mask"].at[bidx, slots].set(
+            st["slot_mask"][bidx, slots] | active)
+        # admitting row: validate its qlen chunk slots
+        ar = jnp.arange(self.max_len)[None]
+        admit_start = slots[admit_slot]
+        mark = (ar >= admit_start) & (ar < admit_start + qlen)
+        sm = jnp.where(is_admit[:, None] & mark, True, sm)
+        write_idx = jnp.where(is_admit, admit_start + qlen, slots + active)
+        position = st["position"] + jnp.where(is_admit, qlen,
+                                              active.astype(jnp.int32))
+        first = nxt[admit_slot]
+        admit_alive = final & (first != self.eos) & (max_new_admit > 1)
+        last_token = jnp.where(active, nxt, st["last_token"])
+        last_token = jnp.where(is_admit & final, first, last_token)
+        st.update(
+            cache=cache, slot_mask=sm, write_idx=write_idx,
+            position=position, last_token=last_token,
+            active=jnp.where(is_admit, admit_alive, still),
+            n_generated=jnp.where(is_admit,
+                                  jnp.where(final, 1, 0), n_gen),
+            max_new=jnp.where(is_admit, max_new_admit, st["max_new"]))
+        return st, out_tok, active, first
+
     @partial(jax.jit, static_argnums=(0, 5))
     def _prefill_jit(self, params, state, embeds, mask, s_bucket, slot,
                      max_new, rng):
@@ -164,10 +230,18 @@ class ContinuousEngine:
     def submit(self, inputs_embeds, attention_mask, max_new: int) -> int:
         """Admit one request (embeds [1, S, D], mask [1, S]). Returns id.
 
-        The first generated token samples from the prefill logits here;
-        subsequent tokens come from step()."""
+        Prompts within the prefill buckets run one dedicated prefill; the
+        first generated token samples from its logits here and subsequent
+        tokens come from step(). With chunk_size set, longer prompts park
+        as a CHUNKED admission instead: step() streams them into the slot
+        chunk_size tokens per mixed step while every other slot keeps
+        decoding (no prefill stall), and the first token arrives with the
+        final chunk."""
         slot = self.slot_req.index(None)   # raises ValueError when full
         s = inputs_embeds.shape[1]
+        if self.chunk_size and s > self.buckets[-1]:
+            return self._submit_chunked(slot, inputs_embeds,
+                                        attention_mask, max_new)
         s_b = _bucket(s, self.buckets)
         if s_b + max_new > self.max_len:
             raise ValueError("prompt bucket + max_new exceeds max_len")
@@ -188,11 +262,59 @@ class ContinuousEngine:
         self.requests[req.req_id] = req
         return req.req_id
 
-    def step(self) -> int:
-        """Advance every active slot one token. Returns #slots advanced."""
+    def _submit_chunked(self, slot: int, inputs_embeds, attention_mask,
+                        max_new: int) -> int:
+        import numpy as np
+        valid = np.asarray(attention_mask[0]).astype(bool)
+        emb = np.asarray(inputs_embeds[0])[valid]        # drop padding
+        s = emb.shape[0]
+        if s + max_new > self.max_len:
+            raise ValueError("prompt + max_new exceeds max_len")
+        # reset the slot's device state; the admission streams from 0
+        st = dict(self.state)
+        st["slot_mask"] = st["slot_mask"].at[slot].set(False)
+        for key, val in (("write_idx", 0), ("position", 0),
+                         ("active", False), ("n_generated", 0)):
+            st[key] = st[key].at[slot].set(val)
+        self.state = st
+        req = _Request(next(self._ids), s, max_new)
+        self.requests[req.req_id] = req
+        self.slot_req[slot] = req.req_id      # reserve through admission
+        self._admissions.append({"req": req, "slot": slot, "embeds": emb,
+                                 "offset": 0, "max_new": max_new})
+        return req.req_id
+
+    def _step_mixed(self) -> int:
+        """One mixed step: head admission consumes a chunk, everyone else
+        decodes. Returns #decode slots advanced."""
+        import numpy as np
+        a = self._admissions[0]
+        q = self.chunk_size
+        chunk = a["embeds"][a["offset"]:a["offset"] + q]
+        qlen = chunk.shape[0]
+        final = a["offset"] + qlen >= a["embeds"].shape[0]
+        if qlen < q:
+            chunk = np.pad(chunk, ((0, q - qlen), (0, 0)))
         self._rng, sub = jax.random.split(self._rng)
-        self.state, out_tok, was_active = self._step_jit(
-            self.params, self.state, sub)
+        self.state, out_tok, was_active, first = self._mixed_jit(
+            self.params, self.state, jnp.asarray(chunk),
+            jnp.int32(a["slot"]), jnp.int32(qlen), final,
+            jnp.int32(a["max_new"]), sub)
+        advanced = self._record(out_tok, was_active)
+        a["offset"] += qlen
+        if final:
+            self._admissions.pop(0)
+            req = a["req"]
+            first = int(first)
+            req.tokens.append(first)
+            if first == self.eos or a["max_new"] <= 1:
+                req.done = True
+                self.slot_req[a["slot"]] = None
+        return advanced
+
+    def _record(self, out_tok, was_active) -> int:
+        """Append each advanced slot's token; retire finished ones."""
+        import numpy as np
         out_tok = np.asarray(out_tok)
         was_active = np.asarray(was_active)
         still = np.asarray(self.state["active"])
@@ -208,6 +330,15 @@ class ContinuousEngine:
                 self.slot_req[slot] = None
         return advanced
 
+    def step(self) -> int:
+        """Advance every active slot one token. Returns #slots advanced."""
+        if self._admissions:
+            return self._step_mixed()
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, out_tok, was_active = self._step_jit(
+            self.params, self.state, sub)
+        return self._record(out_tok, was_active)
+
     def finished(self) -> Dict[int, List[int]]:
         """Drain completed requests: {req_id: generated token ids}."""
         out = {}
@@ -217,6 +348,7 @@ class ContinuousEngine:
 
     def run_until_drained(self, max_steps: int = 10_000):
         for _ in range(max_steps):
-            if self.step() == 0:
+            if (self.step() == 0 and not self._admissions
+                    and all(r is None for r in self.slot_req)):
                 break
         return self.finished()

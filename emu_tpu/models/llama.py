@@ -351,12 +351,14 @@ def _cache_write_all(c: dict, new_rows: jax.Array, idx) -> dict:
     tunneled backend); deferring batches them into one update per cache
     plane, and the int8 quantization chain runs once over all layers.
 
-    new_rows: [L, 2, B, Hkv, 1, D] — k then v on axis 1, head-major.
-    idx: scalar slot start, or a (bidx, slots) pair for per-row scatter
-    (continuous batching)."""
-    kv = jnp.swapaxes(new_rows, 0, 1)            # [2, L, B, Hkv, 1, D]
+    new_rows: [L, 2, B, Hkv, q, D] — k then v on axis 1, head-major.
+    idx: scalar slot start (rows land at [idx, idx+q)), or a
+    (bidx, slots) pair for per-row scatter (continuous batching; row b's
+    q rows land at [slots[b], slots[b]+q))."""
+    kv = jnp.swapaxes(new_rows, 0, 1)            # [2, L, B, Hkv, q, D]
+    q = kv.shape[4]
     if "k_scale" in c:
-        vals, scale = kv_quantize(kv)            # scale [2, L, B, Hkv, 1]
+        vals, scale = kv_quantize(kv)            # scale [2, L, B, Hkv, q]
     else:
         vals, scale = kv.astype(c["k"].dtype), None
     out = dict(c)
@@ -367,7 +369,7 @@ def _cache_write_all(c: dict, new_rows: jax.Array, idx) -> dict:
             if scale is not None:
                 out[key + "_scale"] = jax.lax.dynamic_update_slice(
                     c[key + "_scale"], scale[t], (0, 0, 0, idx))
-        else:
+        elif q == 1:
             bidx, slots = idx
             # advanced indices on dims 1 and 3 (split by a slice) move to
             # the front: the update operand is [B, L, Hkv, D] / [B, L, Hkv]
@@ -377,6 +379,20 @@ def _cache_write_all(c: dict, new_rows: jax.Array, idx) -> dict:
                 srows = jnp.moveaxis(scale[t][:, :, :, 0], 1, 0)
                 out[key + "_scale"] = c[key + "_scale"].at[
                     :, bidx, :, slots].set(srows)
+        else:
+            # per-row CHUNK scatter (mixed decode+prefill steps): row b's
+            # q new positions land at [slots[b], slots[b]+q); advanced
+            # index grids [B, 1] x [B, q] broadcast, update [B, q, L, Hkv, ..]
+            bidx, slots = idx
+            grid = slots[:, None] + jnp.arange(q)[None, :]
+            # [L, B, Hkv, q, D] → [B, q, L, Hkv, D]
+            rows = jnp.moveaxis(vals[t], (1, 3), (0, 1))
+            out[key] = c[key].at[:, bidx[:, None], :, grid].set(rows)
+            if scale is not None:
+                # [L, B, Hkv, q] → [B, q, L, Hkv]
+                srows = jnp.moveaxis(scale[t], (1, 3), (0, 1))
+                out[key + "_scale"] = c[key + "_scale"].at[
+                    :, bidx[:, None], :, grid].set(srows)
     return out
 
 
@@ -510,6 +526,36 @@ def decode_step_rows(params: dict, cfg: LlamaConfig, cache: dict,
         slot_mask, jnp.arange(max_len)[None] != slots[:, None])
     return _deferred_decode(params, cfg, cache, token_embeds, rows,
                             cache_mask, (jnp.arange(b), slots))
+
+
+def decode_mixed_rows(params: dict, cfg: LlamaConfig, cache: dict,
+                      token_embeds: jax.Array, slots: jax.Array,
+                      slot_mask: jax.Array, positions: jax.Array
+                      ) -> Tuple[jax.Array, dict]:
+    """Mixed decode+prefill step: q tokens per row, PER-ROW write slots.
+
+    The chunked-prefill (Sarathi-style) engine step: token_embeds
+    [B, q, D] — decode rows carry their one new token at column 0 (rest
+    padding), an admitting row carries a prompt chunk. Row b's tokens
+    occupy cache slots [slots[b], slots[b]+q); every query sees the
+    committed cache (slot_mask must NOT include any in-flight slot) plus
+    its own chunk prefix (column j iff j <= i, applied by the attention
+    backend). positions [B]: rope position of each row's FIRST token.
+    Returns (post-norm hidden [B, q, D], cache).
+
+    Rows with fewer than q real tokens are safe by construction: a valid
+    query (i < qlen) only attends chunk columns j <= i < qlen, and the
+    garbage rows committed at [slots+qlen, slots+q) stay invalid in
+    slot_mask until real tokens overwrite them."""
+    b, qn, _ = token_embeds.shape
+    max_len = cache["k"].shape[3]
+    # clamp to the table (overhang rows are padding whose output and
+    # cache rows are never validated)
+    pos_grid = jnp.minimum(positions[:, None] + jnp.arange(qn)[None, :],
+                           max_len - 1)
+    rows = R.gather_rope_rows(*rope_tables(cfg, max_len), pos_grid)
+    return _deferred_decode(params, cfg, cache, token_embeds, rows,
+                            slot_mask, (jnp.arange(b), slots))
 
 
 def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:

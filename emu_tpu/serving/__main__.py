@@ -41,6 +41,13 @@ def main():
                         "builds a 1-layer demo draft)")
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_len", type=int, default=512)
+    p.add_argument("--chunked_prefill", type=int, default=None,
+                   metavar="N",
+                   help="with --continuous: admit prompts longer than "
+                        "the largest prefill bucket in N-token chunks "
+                        "interleaved with decode (Sarathi-style; no "
+                        "prefill stall). Keep N <= 32 for the Pallas "
+                        "decode kernel.")
     p.add_argument("--kv_quant", action="store_true",
                    help="with --continuous: int8 KV cache (2x context "
                         "capacity per chip)")
@@ -93,7 +100,8 @@ def main():
                 draft = (_llama.init(jax.random.PRNGKey(7), dcfg), dcfg)
             chat_helper = ContinuousChatHelper(
                 build(0), max_slots=args.max_slots, max_len=args.max_len,
-                draft=draft, kv_cache_quant=args.kv_quant)
+                draft=draft, kv_cache_quant=args.kv_quant,
+                chunk_size=args.chunked_prefill)
         elif args.batching:
             from emu_tpu.serving.batching import BatchingChatHelper
             chat_helper = BatchingChatHelper(build(0))

@@ -44,7 +44,8 @@ class ContinuousChatHelper:
     def __init__(self, pipeline, *, max_slots: int = 8, max_len: int = 512,
                  draft: Optional[Tuple[dict, object]] = None,
                  spec_k: int = 4, poll_s: float = 0.05,
-                 kv_cache_quant: bool = False):
+                 kv_cache_quant: bool = False,
+                 chunk_size: Optional[int] = None):
         from emu_tpu.generation.continuous import ContinuousEngine
         self.pipeline = pipeline
         tok = pipeline.tokenizer
@@ -52,7 +53,7 @@ class ContinuousChatHelper:
             pipeline.params["decoder"], pipeline.cfg.llama,
             max_slots=max_slots, max_len=max_len,
             eos_token_id=tok.eos_token_id,
-            kv_cache_quant=kv_cache_quant)
+            kv_cache_quant=kv_cache_quant, chunk_size=chunk_size)
         self.draft = draft                  # (params, LlamaConfig) or None
         self.spec_k = spec_k
         self.poll_s = poll_s

@@ -136,3 +136,70 @@ def test_tp_sharded_params_match_replicated():
     sharded = shard_params(params, mesh, sharding_rules)
     got = run(sharded)
     assert got == want, (got, want)
+
+
+def test_chunked_prefill_matches_oracle():
+    """Chunked (Sarathi-style) admission: a prompt longer than every
+    prefill bucket streams into its slot chunk_size tokens per mixed
+    step. Tokens must equal the single-request oracle, and other slots
+    must keep advancing during the admission (no prefill stall)."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(7)
+    short = list(rng.randint(1, 90, 5))
+    long = list(rng.randint(1, 90, 37))           # > largest bucket (16)
+    want_short = _oracle(params, embeds_for(short), 12, eos)
+    want_long = _oracle(params, embeds_for(long), 8, eos)
+
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=eos,
+                           chunk_size=8)
+    rid_s = eng.submit(embeds_for(short), jnp.ones((1, 5), jnp.int32), 12)
+    rid_l = eng.submit(embeds_for(long), jnp.ones((1, 37), jnp.int32), 8)
+    assert eng._admissions, "long prompt should park as chunked admission"
+    # during the 5 admission steps (ceil(37/8)), the short request decodes
+    short_before = len(eng.requests[rid_s].tokens)
+    n_mixed = 0
+    while eng._admissions:
+        eng.step()
+        n_mixed += 1
+    assert n_mixed == 5
+    assert len(eng.requests[rid_s].tokens) > short_before, (
+        "short request stalled during chunked admission")
+    res = eng.run_until_drained()
+    assert res[rid_s] == want_short, (res[rid_s], want_short)
+    assert res[rid_l] == want_long, (res[rid_l], want_long)
+
+
+def test_chunked_prefill_first_token_eos():
+    """A chunked admission whose first generated token is EOS (or
+    max_new == 1) completes at the final chunk without occupying the
+    slot further."""
+    params, embeds_for = _setup()
+    rng = np.random.RandomState(9)
+    long = list(rng.randint(1, 90, 20))
+    want = _oracle(params, embeds_for(long), 1, eos=96)
+    eng = ContinuousEngine(params, CFG, max_slots=1, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=96,
+                           chunk_size=8)
+    rid = eng.submit(embeds_for(long), jnp.ones((1, 20), jnp.int32), 1)
+    res = eng.run_until_drained()
+    assert res[rid] == want
+    assert eng.slot_req == [None]
+
+
+def test_chunked_prefill_int8_kv():
+    """Chunked admission composes with the int8 KV cache (the q>1
+    per-row quantized scatter commit path)."""
+    params, embeds_for = _setup()
+    rng = np.random.RandomState(11)
+    long = list(rng.randint(1, 90, 21))
+    want = _oracle(params, embeds_for(long), 6, eos=96)
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=96,
+                           chunk_size=8, kv_cache_quant=True)
+    rid = eng.submit(embeds_for(long), jnp.ones((1, 21), jnp.int32), 6)
+    res = eng.run_until_drained()
+    # int8 quantization can in principle flip near-ties, but on this
+    # model the stream matches the full-precision oracle exactly
+    assert res[rid] == want, (res[rid], want)
