@@ -298,7 +298,16 @@ def main():
     print(f"chip health probe: {health:.0f} TFLOP/s sustained matmul",
           file=sys.stderr)
 
-    img_per_s = bench_vit_encode()
+    only_pre = [s.strip() for s in
+                os.environ.get("EMU_TPU_BENCH_ONLY", "").split(",")
+                if s.strip()]
+    if only_pre and not any(s.lower() in "eva_vit_g_encode_throughput"
+                            for s in only_pre):
+        # lane-filtered A/B run on the shared chip: skip the headline
+        # measurement (the driver always runs unfiltered)
+        img_per_s = float("nan")
+    else:
+        img_per_s = bench_vit_encode()
     # the shared tunnel intermittently stalls; retry once if the headline
     # number is implausibly low for this architecture (>100 img/s measured
     # repeatedly on a healthy chip)
@@ -310,12 +319,14 @@ def main():
 
     # headline goes out BEFORE the secondaries: if the shared tunnel stalls
     # mid-secondary, the driver still gets its one JSON line.
-    print(json.dumps({
-        "metric": "eva_vit_g_encode_throughput",
-        "value": round(img_per_s, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S, 3),
-    }), flush=True)
+    if img_per_s == img_per_s:  # not the filtered-run NaN
+        print(json.dumps({
+            "metric": "eva_vit_g_encode_throughput",
+            "value": round(img_per_s, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S,
+                                 3),
+        }), flush=True)
     # EMU_TPU_BENCH_ONLY=<substring>[,<substring>]: run just the matching
     # secondary lanes — for quick A/Bs on the shared chip without paying
     # for the whole suite. Unset = all lanes.
@@ -323,8 +334,11 @@ def main():
             os.environ.get("EMU_TPU_BENCH_ONLY", "").split(",")
             if s.strip()]
 
+    def want(name):
+        return not only or any(s.lower() in name.lower() for s in only)
+
     def run(name, fn, unit):
-        if only and not any(s.lower() in name.lower() for s in only):
+        if not want(name):
             return
         try:
             print(f"secondary: {name} {fn():.2f} {unit}", file=sys.stderr)
@@ -339,7 +353,10 @@ def main():
     # quantized decode at TRUE 40-layer depth — weights built on device,
     # shared across lanes with the same layout
     try:
-        p8 = init_llama_quant_full(_llama_13b_cfg(40), "int8")
+        p8 = (init_llama_quant_full(_llama_13b_cfg(40), "int8")
+              if (want("llama-13B decode int8 full-depth b8")
+                  or want("llama-13B decode int8 full-depth b32 int8-KV"))
+              else None)
         run("llama-13B decode int8 full-depth b8",
             functools.partial(bench_llama_decode, layers=40, quant="int8",
                               params=p8), "tok/s/chip")
@@ -352,7 +369,12 @@ def main():
         print(f"secondary int8 full-depth build failed: {e}",
               file=sys.stderr)
     try:
-        p4 = init_llama_quant_full(_llama_13b_cfg(40), "int4")
+        p4 = (init_llama_quant_full(_llama_13b_cfg(40), "int4")
+              if any(want(s) for s in (
+                  "llama-13B decode int4 full-depth b8",
+                  "llama-13B decode int4 full-depth 2k-ctx int8-KV b4",
+                  "llama-13B decode int4 full-depth 4k-ctx int8-KV b4"))
+              else None)
         run("llama-13B decode int4 full-depth b8",
             functools.partial(bench_llama_decode, layers=40, quant="int4",
                               params=p4), "tok/s/chip")
@@ -376,7 +398,9 @@ def main():
         print(f"secondary int4 full-depth build failed: {e}",
               file=sys.stderr)
     try:
-        pg = init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8), "int8")
+        pg = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8), "int8")
+              if want("llama-13B decode int8 GQA-8kv full-depth b8")
+              else None)
         run("llama-13B decode int8 GQA-8kv full-depth b8",
             functools.partial(bench_llama_decode, layers=40, quant="int8",
                               kv_heads=8, params=pg), "tok/s/chip")
