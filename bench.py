@@ -386,10 +386,12 @@ def main():
                               params=p4),
             "tok/s/chip")
         # 4k: where the int8 cache's halved HBM traffic dominates (decode
-        # kernel 408 vs 633 us/layer against bf16 KV at 4096 slots);
-        # int4 weights 6.7 GB + int8 KV 6.8 GB fit the 16 GB chip
-        run("llama-13B decode int4 full-depth 4k-ctx int8-KV b4",
-            functools.partial(bench_llama_decode, batch=4, layers=40,
+        # kernel 408 vs 633 us/layer against bf16 KV at 4096 slots).
+        # b2, not b4: the 4k b4 program reproducibly crashes the remote
+        # compile helper (HTTP 500, subprocess exit 1 — compiler-side
+        # resource limit; b2 and 3k-b4 both compile and run fine)
+        run("llama-13B decode int4 full-depth 4k-ctx int8-KV b2",
+            functools.partial(bench_llama_decode, batch=2, layers=40,
                               quant="int4", prompt=4032, kv_quant=True,
                               params=p4),
             "tok/s/chip")
