@@ -531,9 +531,10 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
         hidden = llama.forward_hidden(p, cfg, embeds, mask, remat="dots")
         logits = llama.logits(p, hidden[:, :-1])
         tgt = ids[:, 1:]
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
-        return jnp.mean(nll)
+        lf = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(lf, axis=-1)
+        picked = jnp.take_along_axis(lf, tgt[..., None], axis=-1)[..., 0]
+        return jnp.mean(lse - picked)
 
     @jax.jit
     def steps(p, s, ids, mask):

@@ -161,9 +161,14 @@ def forward_loss(params: dict, cfg: Emu1Config, token_ids: jax.Array,
     shift_logits = logits[:, :-1]
     shift_labels = token_ids[:, 1:]
     shift_valid = (~ignore[:, 1:]) & attention_mask[:, 1:].astype(bool)
-    logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
-    token_ll = jnp.take_along_axis(logprobs, shift_labels[:, :, None],
-                                   axis=-1)[..., 0]
+    # logsumexp-form CE: identical math to log_softmax+gather but never
+    # materializes the [B, T, V] fp32 log-prob tensor (the lse reduction
+    # fuses with the logits producer; ~2 GB less HBM traffic per step at
+    # 8x1024x32k).
+    lse = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(shift_logits, shift_labels[:, :, None],
+                                 axis=-1)[..., 0]
+    token_ll = picked - lse
     return -jnp.sum(token_ll * shift_valid) / jnp.maximum(
         jnp.sum(shift_valid), 1)
 

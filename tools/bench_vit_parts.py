@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 B, S, W, HID, H, D = 32, 257, 1408, 6144, 16, 88
 M = B * S
-K_ITERS = 50
+K_ITERS = 500
 
 
 def _fetch(x):
@@ -68,9 +68,9 @@ def main():
     from emu_tpu.ops.flash_attention import mha_packed_qkv, batched_mha
 
     def report(name, dt, gflop):
-        ideal = gflop / tf / 1e3
-        print(f"{name:34s} {dt*1e6:8.0f} us/layer  ideal {ideal*1e3:6.0f} us"
-              f"  ({100*ideal/(dt*1e3):3.0f}% of roofline)")
+        ideal_us = gflop / tf * 1e3
+        print(f"{name:34s} {dt*1e6:8.0f} us/layer  ideal {ideal_us:6.0f} us"
+              f"  ({100*ideal_us/(dt*1e6):3.0f}% of roofline)")
 
     gf_qkv = 2 * M * W * 3 * H * D / 1e9
     dt = _time(loop(lambda xx: fused_dense(
