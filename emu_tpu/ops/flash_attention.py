@@ -420,7 +420,13 @@ def _bhsd_kernel(q_ref, k_ref, v_ref, bq_ref, bv_ref, o_ref, *,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + pad_bias
-        m = jnp.max(s, axis=-1, keepdims=True)
+        # bf16 max: halves the lane-reduction pass. The subtracted m may sit
+        # a hair (~0.4%) below the true row max, so exp(s - m) stays within
+        # exp(0.004|m|) of 1 — overflow would need |scores| ~ 2e4,
+        # unreachable from LN'd activations at these dims; the softmax
+        # output is unchanged (shift invariance holds for any m).
+        m = jnp.max(s.astype(jnp.bfloat16), axis=-1,
+                    keepdims=True).astype(jnp.float32)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(p.astype(v_ref.dtype),
