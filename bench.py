@@ -506,13 +506,8 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
     return batch / dt_full
 
 
-def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
-    """Training-step throughput: masked-CE LM objective at true 13B layer
-    dims (reduced depth), per-layer remat, adafactor (the memory-lean
-    TPU-classic optimizer — adamw moments at these dims would not leave
-    room for activations on one chip). Reported as full-40-layer-equiv
-    tokens/sec/chip. Attention runs the Pallas flash kernel in BOTH
-    directions (custom VJP, ops/flash_attention.py)."""
+def _llama_train_step_time(batch, seq, layers, k):
+    """Min-of-3 seconds for k chained train steps at the given depth."""
     import optax
     from emu_tpu.config import LlamaConfig
     from emu_tpu.models import llama
@@ -548,8 +543,34 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
                                        (p, s, jnp.float32(0)))
         return loss
 
-    dt = _time_call(lambda: steps(params, opt_state, ids, mask))
-    return batch * seq * k / dt * layers / 40.0
+    return _time_call(lambda: steps(params, opt_state, ids, mask))
+
+
+def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
+    """Training-step throughput: masked-CE LM objective at true 13B layer
+    dims (reduced depth), per-layer remat, adafactor (the memory-lean
+    TPU-classic optimizer — adamw moments at these dims would not leave
+    room for activations on one chip). Attention runs the Pallas flash
+    kernel in BOTH directions (custom VJP, ops/flash_attention.py).
+
+    Reported as full-40-layer-equiv tokens/sec/chip via a TWO-POINT depth
+    fit: timing `layers` and `2*layers` steps separates the per-layer
+    marginal cost from the fixed embed/lm_head/CE/optimizer cost, then
+    projects dt_full = fixed + 40*per_layer. A naive *(40/layers) scale
+    charges the fixed head cost 40/layers times — the lm_head+CE alone is
+    ~11% of a 4-layer step's FLOPs but <2% of a 40-layer one. Falls back
+    to the naive scale if the deeper point OOMs."""
+    # the `layers`-deep step already rides the HBM edge (5 layers OOMs at
+    # these dims), so the second depth point goes DOWN: layers/2.
+    lo = max(layers // 2, 1)
+    dt_hi = _llama_train_step_time(batch, seq, layers, k)
+    dt_lo = _llama_train_step_time(batch, seq, lo, k)
+    per_layer = max(dt_hi - dt_lo, 0.0) / (layers - lo)
+    fixed = max(dt_hi - layers * per_layer, 0.0)
+    dt_full = fixed + 40 * per_layer
+    print(f"train depth fit: fixed {fixed / k * 1e3:.1f} ms/step, "
+          f"per-layer {per_layer / k * 1e3:.2f} ms/step", file=sys.stderr)
+    return batch * seq * k / dt_full
 
 
 if __name__ == "__main__":
