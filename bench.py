@@ -118,15 +118,9 @@ def init_llama_quant_full(cfg, quant: str):
     return dict(rest, layers=layers)
 
 
-def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
-                       quant: str = "bf16", kv_heads=None,
-                       kv_quant: bool = False, params=None):
-    """13B decode tokens/sec/chip. Quantized lanes run TRUE 40-layer
-    depth (weights fit HBM: int8 13.3 GB, int4 6.7 GB — built on device
-    by init_llama_quant_full); bf16 runs reduced depth scaled x(40/L)
-    and is labeled an extrapolation — a bf16 13B does not fit one chip.
-    All modes use fused qkv/gate_up projections (op launch count is a
-    first-order decode cost on this backend)."""
+def _llama_decode_time(batch, layers, prompt, new, quant, kv_heads,
+                       kv_quant, params):
+    """Min-of-3 seconds for one batched `new`-token generate call."""
     from emu_tpu.generation import GenerationConfig, llama_generate
     from emu_tpu.models import llama
     cfg = _llama_13b_cfg(layers, kv_heads)
@@ -142,10 +136,33 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
     gcfg = GenerationConfig(max_new_tokens=new, min_length=new,
                             eos_token_id=-1, pad_token_id=32000,
                             kv_cache_quant=kv_quant)
-    fn = lambda: llama_generate(params, cfg, embeds, mask, gcfg)
-    dt = _time_call(fn)
-    # report full-40-layer-equivalent rate (exact when layers == 40)
-    return batch * new / dt * cfg.num_hidden_layers / 40.0
+    return _time_call(lambda: llama_generate(params, cfg, embeds, mask, gcfg))
+
+
+def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
+                       quant: str = "bf16", kv_heads=None,
+                       kv_quant: bool = False, params=None):
+    """13B decode tokens/sec/chip. Quantized lanes run TRUE 40-layer
+    depth (weights fit HBM: int8 13.3 GB, int4 6.7 GB — built on device
+    by init_llama_quant_full); a bf16 13B does not fit one chip, so the
+    bf16 lane is a labeled extrapolation via a TWO-POINT depth fit
+    (layers and layers/2) — the fixed embed/lm_head/sampling cost per
+    step (~24% of an 8-layer step but ~6% of a 40-layer one) must not be
+    scaled with depth. All modes use fused qkv/gate_up projections (op
+    launch count is a first-order decode cost on this backend)."""
+    dt = _llama_decode_time(batch, layers, prompt, new, quant, kv_heads,
+                            kv_quant, params)
+    if layers >= 40:
+        return batch * new / dt          # exact, no extrapolation
+    lo = max(layers // 2, 1)
+    dt_lo = _llama_decode_time(batch, lo, prompt, new, quant, kv_heads,
+                               kv_quant, None)
+    per_layer = max(dt - dt_lo, 0.0) / (layers - lo)
+    fixed = max(dt - layers * per_layer, 0.0)
+    dt_full = fixed + 40 * per_layer
+    print(f"decode depth fit: fixed {fixed / new * 1e3:.2f} ms/step, "
+          f"per-layer {per_layer / new * 1e3:.3f} ms/step", file=sys.stderr)
+    return batch * new / dt_full
 
 
 def bench_llama_prefill(batch=4, seq=2048, layers=8, k=5):
@@ -347,8 +364,9 @@ def main():
 
     run("EVA-ViT-g encode W8A8 int8",
         functools.partial(bench_vit_encode, int8=True), "img/s/chip")
-    run("llama-13B decode bf16 (8-layer, x5 extrapolated; bf16 13B "
-        "does not fit one chip)", bench_llama_decode, "tok/s/chip")
+    run("llama-13B decode bf16 (two-point depth fit from 8/4 layers; "
+        "bf16 13B does not fit one chip)", bench_llama_decode,
+        "tok/s/chip")
 
     # quantized decode at TRUE 40-layer depth — weights built on device,
     # shared across lanes with the same layout
