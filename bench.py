@@ -436,8 +436,8 @@ def main():
             ("EVA-4B ViT encode W8A8 int8",
              functools.partial(bench_vit_4b_encode, int8=True),
              "img/s/chip"),
-            ("Emu1 caption e2e bf16 (8-layer decoder, extrapolated)",
-             bench_emu1_caption, "captions/s/chip"),
+            ("Emu1 caption e2e bf16 (two-point depth fit from 8/4 "
+             "decoder layers)", bench_emu1_caption, "captions/s/chip"),
             ("llama-13B-equiv train step", bench_llama_train,
              "tok/s/chip"),
             ("Emu1 caption e2e int8 full-depth",
@@ -465,14 +465,27 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
     ViT-g encode → CausalFormer → multimodal prompt prefill → greedy
     decode of 20 tokens (COCO eval default). full_depth=True (int8 only)
     runs the TRUE 40-layer decoder (int8 13.3 GB + W8A8 encoder fit
-    HBM); otherwise reduced depth with decoder time scaled x(40/L)
-    (encoder time is real either way)."""
+    HBM); otherwise a two-point depth fit (layers and layers/2 e2e
+    timings) projects 40 decoder layers — the encoder/lm_head/sampling
+    cost lands in the fit's fixed term instead of being scaled x(40/L)."""
+    if full_depth:
+        assert int8, "full-depth caption requires the int8 decoder"
+        return batch / _emu1_caption_time(batch, 40, new, int8, True)
+    dt = _emu1_caption_time(batch, layers, new, int8, False)
+    lo = max(layers // 2, 1)
+    dt_lo = _emu1_caption_time(batch, lo, new, int8, False)
+    per_layer = max(dt - dt_lo, 0.0) / (layers - lo)
+    fixed = max(dt - layers * per_layer, 0.0)
+    print(f"caption depth fit: fixed {fixed * 1e3:.1f} ms/batch, "
+          f"per-layer {per_layer * 1e3:.2f} ms/batch", file=sys.stderr)
+    return batch / (fixed + 40 * per_layer)
+
+
+def _emu1_caption_time(batch, layers, new, int8, full_depth):
+    """Min-of-3 seconds for one batched e2e caption call at this depth."""
     from emu_tpu.config import Emu1Config, LlamaConfig
     from emu_tpu.generation import GenerationConfig
     from emu_tpu.models import emu1, llama
-    if full_depth:
-        assert int8, "full-depth caption requires the int8 decoder"
-        layers = 40
     cfg = Emu1Config(llama=LlamaConfig(
         hidden_size=5120, intermediate_size=13824,
         num_hidden_layers=layers, num_attention_heads=40,
@@ -517,11 +530,7 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
         embeds = emu1.encode_image(p, cfg, im).reshape(-1, 5120)
         return emu1.generate(p, cfg, ids, mask, embeds, gcfg, img_tok)
 
-    dt = _time_call(e2e, params, images)
-    enc = jax.jit(lambda p, im: emu1.encode_image(p, cfg, im))
-    dt_enc = _time_call(enc, params, images)
-    dt_full = dt_enc + (dt - dt_enc) * 40.0 / layers
-    return batch / dt_full
+    return _time_call(e2e, params, images)
 
 
 def _llama_train_step_time(batch, seq, layers, k):
