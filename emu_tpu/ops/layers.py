@@ -57,6 +57,8 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
         if "bias" in params:
             y = y + params["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
+    if "kernel_s4" in params:
+        return _dense_s4(params, x)
     if "kernel_q4" in params:
         from emu_tpu.ops.q4_matmul import matmul_q4, q4_plan
         if q4_plan(params, x):
@@ -70,6 +72,39 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _dense_s4(params: dict, x: jax.Array) -> jax.Array:
+    """Dense over a materialized native-s4 kernel (quant.materialize_s4).
+
+    Decode-shaped rows (≤32) run a per-group batched dot: the bf16
+    operand stream is the bare s4→bf16 cast (exact, |v| ≤ 7) and the
+    per-(group, out) scale applies in the fp32 accumulator — no
+    [in, out] dequant buffer, no pallas launch. XLA streams the s4
+    buffer at ~1.7× the int8 weight-only rate (half the bytes at ~85%
+    of the byte bandwidth; tools/microbench_int4.py). Larger row counts
+    (prefill) dequantize per use, like the packed-int4 fallback."""
+    w4 = params["kernel_s4"]                       # [in, out] s4
+    scale = params["scale4"]                       # [G, out] f32
+    n_in, n_out = w4.shape[-2:]
+    g = scale.shape[-2]
+    gs = n_in // g
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, n_in)
+    if xf.shape[0] > 32:
+        wq = w4.astype(x.dtype).reshape(g, gs, n_out)
+        w = (wq * scale[..., None, :].astype(x.dtype)).reshape(n_in, n_out)
+        y = jnp.dot(xf, w, preferred_element_type=jnp.float32)
+    else:
+        xg = xf.reshape(-1, g, gs).transpose(1, 0, 2)          # [G, M, gs]
+        yg = jax.lax.dot_general(
+            xg, w4.astype(x.dtype).reshape(g, gs, n_out),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # [G, M, out]
+        y = jnp.sum(yg * scale[..., None, :].astype(jnp.float32), axis=0)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.reshape(*lead, n_out).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,49 @@ def quantize_kernel_int4(kernel: jax.Array, group_size: int = 128) -> dict:
     return {"kernel_q4": packed, "scale4": scale}
 
 
+def materialize_s4(q4p: dict) -> dict:
+    """{kernel_q4, scale4} → {kernel_s4, scale4}: unpack the nibble-packed
+    int4 plane to a MATERIALIZED native-s4 [..., in, out] buffer, inside
+    the current jit program.
+
+    Why: XLA-native s4 dots (convert-to-bf16 operand stream from an s4
+    buffer) measure 88.8 µs vs 110.1 µs for the pallas W4A8 GEMV and
+    152.6 µs for XLA int8 weight-only at the 13B gate/up decode shape
+    (tools/microbench_int4.py, same chip state) — but ONLY when the s4
+    array is a real buffer. If the nibble-unpack stays fused into each
+    dot's operand stream XLA re-does it per matmul at ~240 GB/s. The
+    `optimization_barrier` forces the one-time materialization.
+
+    s4 buffers cannot cross a jit boundary on the tunnel backend
+    (device_put/RecursionError), so storage stays nibble-packed int8 and
+    this conversion runs once at the top of each jitted generate/decode
+    program (6.7 GB read + write for 13B, amortized over the sequence).
+    In-program weight residency doubles (packed + s4) while the program
+    runs — callers own that trade (EMU_TPU_DECODE_S4 gates it).
+    """
+    packed = q4p["kernel_q4"]
+    low = jnp.bitwise_and(packed, 0x0F) - 8              # un-bias
+    high = jnp.right_shift(packed, 4)                    # sign-extends
+    q = jnp.concatenate([low, high], axis=-2).astype(jnp.int4)
+    out = {"kernel_s4": jax.lax.optimization_barrier(q),
+           "scale4": q4p["scale4"]}
+    if "bias" in q4p:
+        out["bias"] = q4p["bias"]
+    return out
+
+
+def materialize_s4_tree(params):
+    """Map every int4-quantized dense param dict in the tree to the
+    materialized-s4 form (see materialize_s4). Identity on other leaves."""
+    def walk(t):
+        if isinstance(t, dict):
+            if "kernel_q4" in t:
+                return materialize_s4(t)
+            return {k: walk(v) for k, v in t.items()}
+        return t
+    return walk(params)
+
+
 def dequantize_int4(params: dict, dtype) -> jax.Array:
     """Unpack {kernel_q4, scale4} back to a dense [..., in, out] kernel.
     The group size is implied by the shapes (n_in / n_groups)."""

@@ -176,3 +176,51 @@ def test_int4_llama_generates():
                          jnp.ones_like(ids),
                          GenerationConfig(max_new_tokens=4, pad_token_id=0))
     assert np.asarray(out).shape == (1, 4)
+
+
+def test_s4_dense_matches_dequant():
+    """quant.materialize_s4 + the native-s4 dense branch reproduce the
+    packed-int4 dequant matmul, on decode (grouped dot) AND prefill
+    (per-use dequant) row counts."""
+    from emu_tpu.ops.quant import (dequantize_int4, materialize_s4,
+                                   quantize_kernel_int4)
+    rng = np.random.default_rng(7)
+    kernel = rng.standard_normal((256, 48)).astype(np.float32) * 0.1
+    q4 = jax.jit(lambda k: quantize_kernel_int4(k, group_size=64))(
+        jnp.asarray(kernel))
+    w = np.asarray(dequantize_int4(q4, jnp.float32))
+
+    @jax.jit
+    def s4_dense(x):
+        return L.dense(materialize_s4(q4), x)
+
+    for m in (4, 64):                      # grouped-dot and dequant tiers
+        x = rng.standard_normal((m, 256)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(s4_dense(jnp.asarray(x))),
+                                   x @ w, rtol=2e-4, atol=2e-4)
+
+
+def test_s4_llama_generate_matches_q4(monkeypatch):
+    """EMU_TPU_DECODE_S4=1 generates the same tokens as the packed path."""
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.generation import engine as eng
+    from emu_tpu.models import llama
+    from emu_tpu.ops.quant import quantize_tree
+    cfg = LlamaConfig(hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=64, extended_vocab_size=64)
+    params = llama.fuse_projections(
+        quantize_tree(llama.init(jax.random.PRNGKey(3), cfg),
+                      bits=4, group_size=64))
+    ids = np.array([[5, 9, 3], [2, 7, 1]], np.int32)
+    gcfg = GenerationConfig(max_new_tokens=6, pad_token_id=0)
+    emb = llama.embed(params, jnp.asarray(ids))
+    ref = np.asarray(llama_generate(params, cfg, emb, jnp.ones_like(ids),
+                                    gcfg))
+    monkeypatch.setenv("EMU_TPU_DECODE_S4", "1")
+    eng._llama_generate_jit.clear_cache()
+    out = np.asarray(llama_generate(params, cfg, emb, jnp.ones_like(ids),
+                                    gcfg))
+    eng._llama_generate_jit.clear_cache()   # flag is read at trace time
+    np.testing.assert_array_equal(out, ref)

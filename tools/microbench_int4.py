@@ -237,6 +237,55 @@ def main():
     except Exception as e:
         print("s4 col-pair grouped failed:", repr(e)[:200])
 
+    # j) col-pair packed int8 storage (tunnel-safe), bitcast -> s4 and
+    # MATERIALIZED once before the loop via optimization_barrier — the
+    # barrier is the whole trick: without it XLA fuses the bitcast into
+    # every dot's operand stream (variants g-i, ~240 GB/s); with it the
+    # loop reads a plain s4 buffer like variant (b) (~400 GB/s).
+    # bitcast [M, N/2] i8 -> [M, N/2, 2] s4 -> reshape [M, N] is free
+    # (low nibble = even column: minor-most adjacency).
+    @jax.jit
+    def s4_barrier_loop(x, w8p, sn):
+        w4 = jax.lax.bitcast_convert_type(
+            w8p[:, : N // 2], jnp.int4).reshape(M, N)
+        w4 = jax.lax.optimization_barrier(w4)
+
+        def it(i, acc):
+            y = jax.lax.dot_general(acc, w4.astype(jnp.bfloat16),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return chain(acc, (y * sn).astype(jnp.bfloat16))
+        return jax.lax.fori_loop(0, K, it, x)
+
+    try:
+        timeit("s4 BARRIER col-pair, plain dot", s4_barrier_loop, x, w8,
+               s8, bytes_per_call=M * N // 2)
+    except Exception as e:
+        print("s4 barrier failed:", repr(e)[:200])
+
+    # k) barrier-materialized s4 with GROUPED scales (the production
+    # int4 layout: per-(K-group, column) scales) via G-batched dot
+    @jax.jit
+    def s4_barrier_grouped_loop(x, w8p, sg):
+        w4 = jax.lax.bitcast_convert_type(
+            w8p[:, : N // 2], jnp.int4).reshape(M, N)
+        w4 = jax.lax.optimization_barrier(w4).reshape(G, GS, N)
+
+        def it(i, acc):
+            xg = acc.reshape(B, G, GS).transpose(1, 0, 2)
+            y = jax.lax.dot_general(xg, w4.astype(jnp.bfloat16),
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            y = jnp.sum(y * sg[:, None, :], axis=0)
+            return chain(acc, y.astype(jnp.bfloat16))
+        return jax.lax.fori_loop(0, K, it, x)
+
+    try:
+        timeit("s4 BARRIER grouped (G-batched)", s4_barrier_grouped_loop,
+               x, w8, sg, bytes_per_call=M * N // 2)
+    except Exception as e:
+        print("s4 barrier grouped failed:", repr(e)[:200])
+
     # f) jit-boundary: can a jit-produced s4 array feed another jit on
     # this backend? (eager device_put of s4 hits a RecursionError)
     try:
