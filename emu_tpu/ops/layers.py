@@ -84,24 +84,26 @@ def _dense_s4(params: dict, x: jax.Array) -> jax.Array:
     buffer at ~1.7× the int8 weight-only rate (half the bytes at ~85%
     of the byte bandwidth; tools/microbench_int4.py). Larger row counts
     (prefill) dequantize per use, like the packed-int4 fallback."""
-    w4 = params["kernel_s4"]                       # [in, out] s4
-    scale = params["scale4"]                       # [G, out] f32
-    n_in, n_out = w4.shape[-2:]
-    g = scale.shape[-2]
-    gs = n_in // g
+    w4 = params["kernel_s4"]               # [G/2, 2, gs, out] s4
+    scale = params["scale4"]               # [G, out] f32
+    g2, _, gs, n_out = w4.shape[-4:]
+    n_in = 2 * g2 * gs
     lead = x.shape[:-1]
     xf = x.reshape(-1, n_in)
-    if xf.shape[0] > 32:
-        wq = w4.astype(x.dtype).reshape(g, gs, n_out)
-        w = (wq * scale[..., None, :].astype(x.dtype)).reshape(n_in, n_out)
+    m = xf.shape[0]
+    # scale group p*G/2 + gi sits at [gi, p]: match the kernel layout
+    sr = scale.reshape(2, g2, n_out).transpose(1, 0, 2)[:, :, None, :]
+    if m > 32:
+        wq = w4.astype(x.dtype) * sr.astype(x.dtype)
+        w = wq.transpose(1, 0, 2, 3).reshape(n_in, n_out)  # original rows
         y = jnp.dot(xf, w, preferred_element_type=jnp.float32)
     else:
-        xg = xf.reshape(-1, g, gs).transpose(1, 0, 2)          # [G, M, gs]
+        xg = xf.reshape(m, 2, g2, gs).transpose(2, 1, 0, 3)    # [G/2,2,M,gs]
         yg = jax.lax.dot_general(
-            xg, w4.astype(x.dtype).reshape(g, gs, n_out),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # [G, M, out]
-        y = jnp.sum(yg * scale[..., None, :].astype(jnp.float32), axis=0)
+            xg, w4.astype(x.dtype),
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)                # [G/2,2,M,out]
+        y = jnp.sum(yg * sr.astype(jnp.float32), axis=(0, 1))
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
     return y.reshape(*lead, n_out).astype(x.dtype)

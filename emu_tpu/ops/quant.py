@@ -122,8 +122,10 @@ def quantize_kernel_int4(kernel: jax.Array, group_size: int = 128) -> dict:
 
 def materialize_s4(q4p: dict) -> dict:
     """{kernel_q4, scale4} → {kernel_s4, scale4}: unpack the nibble-packed
-    int4 plane to a MATERIALIZED native-s4 [..., in, out] buffer, inside
-    the current jit program.
+    int4 plane to a MATERIALIZED native-s4 [..., G/2, 2, gs, out] buffer
+    (input-group, fold-plane, rows-in-group, out — original row
+    p*n_in/2 + gi*gs + j lives at [gi, p, j]), inside the current jit
+    program.
 
     Why: XLA-native s4 dots (convert-to-bf16 operand stream from an s4
     buffer) measure 88.8 µs vs 110.1 µs for the pallas W4A8 GEMV and
@@ -140,12 +142,29 @@ def materialize_s4(q4p: dict) -> dict:
     In-program weight residency doubles (packed + s4) while the program
     runs — callers own that trade (EMU_TPU_DECODE_S4 gates it).
     """
-    packed = q4p["kernel_q4"]
-    low = jnp.bitwise_and(packed, 0x0F) - 8              # un-bias
-    high = jnp.right_shift(packed, 4)                    # sign-extends
-    q = jnp.concatenate([low, high], axis=-2).astype(jnp.int4)
-    out = {"kernel_s4": jax.lax.optimization_barrier(q),
-           "scale4": q4p["scale4"]}
+    packed = q4p["kernel_q4"]                      # [..., in/2, out] i8
+    scale = q4p["scale4"]                          # [..., G, out]
+    *lead, half, n_out = packed.shape
+    g = scale.shape[-2]
+    g2, gs = g // 2, (2 * half) // g
+
+    # Nibble extraction that stays NARROW: int→int4 converts truncate
+    # bits, so `(byte ^ 8).astype(int4)` IS the un-biased low nibble
+    # (stored v+8 ∈ [1,15]; flipping bit 3 yields v's two's-complement
+    # bits) and the arithmetic `>> 4` is the high nibble. Both planes
+    # are elementwise byte→s4 maps that fuse into the stack's slab
+    # writes — no widened s8 temp can materialize (a concat-of-int8
+    # formulation left 1.46 GB s8 halves live per 13B qkv plane and
+    # OOM'd), and no s4 array is ever transposed (strided sub-byte
+    # reads of a transposed pair-bitcast miscompiled on the CPU
+    # backend: output columns interleaved).
+    low = jnp.bitwise_xor(packed, 0x08).astype(jnp.int4)
+    high = jnp.right_shift(packed, 4).astype(jnp.int4)
+    w = jnp.stack([low.reshape(*lead, g2, gs, n_out),
+                   high.reshape(*lead, g2, gs, n_out)],
+                  axis=-3)                         # [..., g2, 2, gs, out]
+    out = {"kernel_s4": jax.lax.optimization_barrier(w),
+           "scale4": scale}
     if "bias" in q4p:
         out["bias"] = q4p["bias"]
     return out
