@@ -386,16 +386,40 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"secondary int8 full-depth build failed: {e}",
               file=sys.stderr)
+    def with_s4(fn, mode="1"):
+        # native-s4 decode (quant.materialize_s4): weights stay
+        # nibble-packed in HBM; the generate program materializes s4
+        # buffers once and the per-step dots stream them ~1.7x faster
+        # than int8 weight-only. In-program weight residency doubles,
+        # so only lanes with ~7 GB of KV+fragmentation headroom use it
+        # (b8 short-ctx, b32 int8-KV — NOT the 2k/4k-ctx lanes).
+        def g():
+            from emu_tpu.generation import engine as eng
+            os.environ["EMU_TPU_DECODE_S4"] = mode
+            eng._llama_generate_jit.clear_cache()
+            try:
+                return fn()
+            finally:
+                os.environ.pop("EMU_TPU_DECODE_S4", None)
+                eng._llama_generate_jit.clear_cache()
+        return g
+
     try:
         p4 = (init_llama_quant_full(_llama_13b_cfg(40), "int4")
               if any(want(s) for s in (
-                  "llama-13B decode int4 full-depth b8",
+                  "llama-13B decode int4 full-depth b8 native-s4",
                   "llama-13B decode int4 full-depth 2k-ctx int8-KV b4",
-                  "llama-13B decode int4 full-depth 4k-ctx int8-KV b4"))
+                  "llama-13B decode int4 full-depth 4k-ctx int8-KV b2"))
               else None)
-        run("llama-13B decode int4 full-depth b8",
-            functools.partial(bench_llama_decode, layers=40, quant="int4",
-                              params=p4), "tok/s/chip")
+        run("llama-13B decode int4 full-depth b8 native-s4",
+            with_s4(functools.partial(bench_llama_decode, layers=40,
+                                      quant="int4", params=p4)),
+            "tok/s/chip")
+        # No b32-s4 lane: next to the 2.5 GB b32 int8 KV cache the s4
+        # conversion overflows HBM even mlp-only — XLA materializes
+        # 2x1.32 GB pre-stack gate_up nibble planes at b32 shapes (the
+        # same program fuses them at b8), and 240 MB is the shortfall.
+        # b32 high-throughput serving stays int8 (841 tok/s lane above).
         # b4: at b8 the int8 KV alone is 6.2 GB next to 6.7 GB weights and
         # XLA's ~4 GB while-loop fragmentation blows the 16 GB HBM
         run("llama-13B decode int4 full-depth 2k-ctx int8-KV b4",

@@ -451,12 +451,16 @@ def _llama_step_fn(params, cfg):
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def _llama_generate_jit(params, cfg, inputs_embeds, attention_mask, gcfg,
                         rng, trie):
-    if os.environ.get("EMU_TPU_DECODE_S4", "0") == "1":
+    s4_mode = os.environ.get("EMU_TPU_DECODE_S4", "0")
+    if s4_mode != "0":
         # int4 planes → materialized native-s4 buffers, once per generate
         # program (quant.materialize_s4: XLA streams s4 24% faster than
         # the pallas W4A8 GEMV; costs a second in-program weight copy).
+        # "1" converts every plane; "mlp" only gate_up/down (when the
+        # full 2x residency doesn't fit next to the KV cache).
         from emu_tpu.ops.quant import materialize_s4_tree
-        params = materialize_s4_tree(params)
+        params = materialize_s4_tree(
+            params, only="mlp/" if s4_mode == "mlp" else "")
     if gcfg.penalty_alpha > 0 and gcfg.top_k > 1 and gcfg.num_beams <= 1 \
             and not gcfg.do_sample:
         return _contrastive_search(params, cfg, inputs_embeds,

@@ -158,11 +158,10 @@ def materialize_s4(q4p: dict) -> dict:
     # OOM'd), and no s4 array is ever transposed (strided sub-byte
     # reads of a transposed pair-bitcast miscompiled on the CPU
     # backend: output columns interleaved).
-    low = jnp.bitwise_xor(packed, 0x08).astype(jnp.int4)
-    high = jnp.right_shift(packed, 4).astype(jnp.int4)
-    w = jnp.stack([low.reshape(*lead, g2, gs, n_out),
-                   high.reshape(*lead, g2, gs, n_out)],
-                  axis=-3)                         # [..., g2, 2, gs, out]
+    pg = packed.reshape(*lead, g2, gs, n_out)      # int8 reshape: free
+    low = jnp.bitwise_xor(pg, 0x08).astype(jnp.int4)
+    high = jnp.right_shift(pg, 4).astype(jnp.int4)
+    w = jnp.stack([low, high], axis=-3)            # [..., g2, 2, gs, out]
     out = {"kernel_s4": jax.lax.optimization_barrier(w),
            "scale4": scale}
     if "bias" in q4p:
@@ -170,14 +169,22 @@ def materialize_s4(q4p: dict) -> dict:
     return out
 
 
-def materialize_s4_tree(params):
-    """Map every int4-quantized dense param dict in the tree to the
-    materialized-s4 form (see materialize_s4). Identity on other leaves."""
-    def walk(t):
+def materialize_s4_tree(params, only: str = ""):
+    """Map int4-quantized dense param dicts in the tree to the
+    materialized-s4 form (see materialize_s4). Identity on other leaves.
+
+    `only`: regex a dict's path must match to convert (e.g. "mlp/" to
+    materialize just the gate_up/down planes — 60% of 13B weight bytes
+    for 60% of the s4 residency cost — when the full conversion's 2x
+    weight footprint doesn't fit next to the KV cache)."""
+    pat = re.compile(only) if only else None
+
+    def walk(t, path=""):
         if isinstance(t, dict):
             if "kernel_q4" in t:
-                return materialize_s4(t)
-            return {k: walk(v) for k, v in t.items()}
+                return (materialize_s4(t)
+                        if pat is None or pat.search(path) else t)
+            return {k: walk(v, f"{path}{k}/") for k, v in t.items()}
         return t
     return walk(params)
 
