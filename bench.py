@@ -449,6 +449,15 @@ def main():
             functools.partial(bench_llama_decode, layers=40, quant="int8",
                               kv_heads=8, params=pg), "tok/s/chip")
         del pg
+        pg4 = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8),
+                                     "int4")
+               if want("llama-13B decode int4 GQA-8kv full-depth b8 "
+                       "native-s4") else None)
+        run("llama-13B decode int4 GQA-8kv full-depth b8 native-s4",
+            with_s4(functools.partial(bench_llama_decode, layers=40,
+                                      quant="int4", kv_heads=8,
+                                      params=pg4)), "tok/s/chip")
+        del pg4
     except Exception as e:  # noqa: BLE001
         print(f"secondary GQA full-depth build failed: {e}",
               file=sys.stderr)
