@@ -224,3 +224,34 @@ def test_s4_llama_generate_matches_q4(monkeypatch):
                                     gcfg))
     eng._llama_generate_jit.clear_cache()   # flag is read at trace time
     np.testing.assert_array_equal(out, ref)
+
+
+def test_s4_persistent_storage_generates():
+    """On backends where s4 arrays cross jit boundaries (CPU, real TPU —
+    not the tunnel), materialize_s4_tree runs ONCE at load time and the
+    resulting persistent-s4 params feed generate directly: no per-call
+    conversion, no doubled in-program weight residency. The engine's
+    materialize pass is an identity on already-converted dicts."""
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.models import llama
+    from emu_tpu.ops.quant import materialize_s4_tree, quantize_tree
+    cfg = LlamaConfig(hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      vocab_size=64, extended_vocab_size=64)
+    q = llama.fuse_projections(
+        quantize_tree(llama.init(jax.random.PRNGKey(3), cfg), bits=4,
+                      group_size=64))
+    ids = np.array([[5, 9, 3]], np.int32)
+    mask = jnp.ones_like(jnp.asarray(ids))
+    gcfg = GenerationConfig(max_new_tokens=5, pad_token_id=0)
+    ref = np.asarray(llama_generate(q, cfg,
+                                    llama.embed(q, jnp.asarray(ids)),
+                                    mask, gcfg))
+    s4 = jax.jit(materialize_s4_tree)(q)     # once, at load time
+    leaves = jax.tree_util.tree_leaves_with_path(s4)
+    assert any("kernel_s4" in jax.tree_util.keystr(p) for p, _ in leaves)
+    out = np.asarray(llama_generate(s4, cfg,
+                                    llama.embed(s4, jnp.asarray(ids)),
+                                    mask, gcfg))
+    np.testing.assert_array_equal(out, ref)
