@@ -158,10 +158,22 @@ def materialize_s4(q4p: dict) -> dict:
     # OOM'd), and no s4 array is ever transposed (strided sub-byte
     # reads of a transposed pair-bitcast miscompiled on the CPU
     # backend: output columns interleaved).
+    def _conv(p):                                  # [g2, gs, out] i8 → s4
+        low = jnp.bitwise_xor(p, 0x08).astype(jnp.int4)
+        high = jnp.right_shift(p, 4).astype(jnp.int4)
+        return jnp.stack([low, high], axis=-3)     # [g2, 2, gs, out]
+
     pg = packed.reshape(*lead, g2, gs, n_out)      # int8 reshape: free
-    low = jnp.bitwise_xor(pg, 0x08).astype(jnp.int4)
-    high = jnp.right_shift(pg, 4).astype(jnp.int4)
-    w = jnp.stack([low, high], axis=-3)            # [..., g2, 2, gs, out]
+    if lead:
+        # stacked layers: serialize per-layer so any nibble-plane temp
+        # the stack fusion materializes stays layer-sized (~33 MB) —
+        # converting the whole gate_up stack at once left 2x1.32 GB
+        # pre-stack s4 temps live at some batch shapes and OOM'd. The
+        # lax.map ys-buffer writes each layer's slab in place.
+        w = jax.lax.map(_conv, pg.reshape(-1, g2, gs, n_out))
+        w = w.reshape(*lead, g2, 2, gs, n_out)
+    else:
+        w = _conv(pg)
     out = {"kernel_s4": jax.lax.optimization_barrier(w),
            "scale4": scale}
     if "bias" in q4p:
