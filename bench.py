@@ -394,14 +394,17 @@ def main():
         # so only lanes with ~7 GB of KV+fragmentation headroom use it
         # (b8 short-ctx, b32 int8-KV — NOT the 2k/4k-ctx lanes).
         def g():
-            from emu_tpu.generation import engine as eng
+            # the flag is a static jit argument (read in llama_generate),
+            # so no cache clearing is needed; restore any external value
+            prev = os.environ.get("EMU_TPU_DECODE_S4")
             os.environ["EMU_TPU_DECODE_S4"] = mode
-            eng._llama_generate_jit.clear_cache()
             try:
                 return fn()
             finally:
-                os.environ.pop("EMU_TPU_DECODE_S4", None)
-                eng._llama_generate_jit.clear_cache()
+                if prev is None:
+                    os.environ.pop("EMU_TPU_DECODE_S4", None)
+                else:
+                    os.environ["EMU_TPU_DECODE_S4"] = prev
         return g
 
     try:

@@ -448,10 +448,9 @@ def _llama_step_fn(params, cfg):
     return step
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4))
+@functools.partial(jax.jit, static_argnums=(1, 4, 7))
 def _llama_generate_jit(params, cfg, inputs_embeds, attention_mask, gcfg,
-                        rng, trie):
-    s4_mode = os.environ.get("EMU_TPU_DECODE_S4", "0")
+                        rng, trie, s4_mode="0"):
     if s4_mode != "0":
         # int4 planes → materialized native-s4 buffers, once per generate
         # program (quant.materialize_s4: XLA streams s4 24% faster than
@@ -481,5 +480,9 @@ def llama_generate(params, cfg, inputs_embeds, attention_mask,
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # The s4 flag is read HERE (outside jit) and passed as a static
+    # argument so flipping it after a trace exists keys a fresh program
+    # instead of silently reusing the stale one (ADVICE r2).
+    s4_mode = os.environ.get("EMU_TPU_DECODE_S4", "0")
     return _llama_generate_jit(params, cfg, inputs_embeds, attention_mask,
-                               gcfg, rng, trie)
+                               gcfg, rng, trie, s4_mode)

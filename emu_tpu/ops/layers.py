@@ -86,6 +86,11 @@ def _dense_s4(params: dict, x: jax.Array) -> jax.Array:
     (prefill) dequantize per use, like the packed-int4 fallback."""
     w4 = params["kernel_s4"]               # [G/2, 2, gs, out] s4
     scale = params["scale4"]               # [G, out] f32
+    if w4.ndim != 4:
+        raise ValueError(
+            f"dense() got a stacked s4 kernel {w4.shape}; s4 params must "
+            "be per-layer (run the layer scan first, or materialize after "
+            "slicing)")
     g2, _, gs, n_out = w4.shape[-4:]
     n_in = 2 * g2 * gs
     lead = x.shape[:-1]

@@ -197,6 +197,8 @@ def materialize_s4_tree(params, only: str = ""):
                 return (materialize_s4(t)
                         if pat is None or pat.search(path) else t)
             return {k: walk(v, f"{path}{k}/") for k, v in t.items()}
+        if isinstance(t, list):                # e.g. UNet block lists
+            return [walk(v, f"{path}{i}/") for i, v in enumerate(t)]
         return t
     return walk(params)
 

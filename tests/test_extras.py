@@ -204,7 +204,6 @@ def test_s4_llama_generate_matches_q4(monkeypatch):
     """EMU_TPU_DECODE_S4=1 generates the same tokens as the packed path."""
     from emu_tpu.config import LlamaConfig
     from emu_tpu.generation import GenerationConfig, llama_generate
-    from emu_tpu.generation import engine as eng
     from emu_tpu.models import llama
     from emu_tpu.ops.quant import quantize_tree
     cfg = LlamaConfig(hidden_size=128, intermediate_size=256,
@@ -219,10 +218,10 @@ def test_s4_llama_generate_matches_q4(monkeypatch):
     ref = np.asarray(llama_generate(params, cfg, emb, jnp.ones_like(ids),
                                     gcfg))
     monkeypatch.setenv("EMU_TPU_DECODE_S4", "1")
-    eng._llama_generate_jit.clear_cache()
+    # no cache clearing needed: the flag is a static jit argument of
+    # _llama_generate_jit, so flipping it keys a fresh trace
     out = np.asarray(llama_generate(params, cfg, emb, jnp.ones_like(ids),
                                     gcfg))
-    eng._llama_generate_jit.clear_cache()   # flag is read at trace time
     np.testing.assert_array_equal(out, ref)
 
 
