@@ -238,6 +238,50 @@ def quantize_unet_params(params):
     return quantize_tree(params, UNET_PATTERNS, act_quant=True)
 
 
+QUANTIZE_MODES = ("int8", "int4", "int4-s4")
+
+
+def quantize_model_params(params: dict, mode: str) -> dict:
+    """The product-surface quantization recipe, shared by the pipelines'
+    `quantize=` option and `python -m emu_tpu.serving --quantize` (≙ the
+    reference demo's 4-bit serving flag, ref
+    Emu2/demo/backend/hf_model/emu/chat.py:59-67).
+
+    mode "int8"/"int4": decoder dense kernels weight-only (decode is
+    HBM-bound — fewer weight bytes is the whole win) and, when a
+    "visual" tower is present, W8A8 int8 (encode is MXU-bound — the
+    int8 MXU path is the win; int4 buys nothing there so the tower is
+    W8A8 in both modes). "int4-s4" additionally materializes persistent
+    native-s4 buffers at load — backends where s4 arrays cross jit
+    boundaries (CPU, real TPU). On the tunnel backend that is not
+    possible (RecursionError); use "int4" + EMU_TPU_DECODE_S4=1 there
+    (per-program materialization, 2x in-program weight residency).
+
+    Already-quantized leaves are left untouched (idempotent)."""
+    if mode not in QUANTIZE_MODES:
+        raise ValueError(f"quantize mode {mode!r}: pick from "
+                         f"{QUANTIZE_MODES}")
+    bits = 4 if mode.startswith("int4") else 8
+    out = dict(params)
+    if "visual" in out:
+        out["visual"] = quantize_tree(out["visual"], VIT_PATTERNS,
+                                      act_quant=True, layer_chunked=True)
+    if "decoder" in out:
+        out["decoder"] = quantize_tree(out["decoder"], bits=bits,
+                                       layer_chunked=True)
+        if mode == "int4-s4":
+            if jax.default_backend() == "axon":
+                import warnings
+                warnings.warn(
+                    "int4-s4: s4 arrays cannot cross a jit boundary on "
+                    "the tunneled backend; keeping packed int4 — set "
+                    "EMU_TPU_DECODE_S4=1 for per-program materialization",
+                    stacklevel=2)
+            else:
+                out["decoder"] = materialize_s4_tree(out["decoder"])
+    return out
+
+
 def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                   bits: int = 8, group_size: int = 128,
                   act_quant: bool = False, layer_chunked: bool = False):
@@ -266,8 +310,14 @@ def quantize_tree(params, patterns: Sequence[str] = DEFAULT_PATTERNS,
                         and v.ndim <= 3    # matmul kernels only, not convs
                         and any(r.search(sub) for r in regexes)):
                     if bits == 4:
+                        # clamp the group to a divisor of the fold half
+                        # (small/tiny models have n_in < group_size)
+                        n_in = v.shape[-2]
+                        gs = group_size
+                        while gs > 1 and ((n_in // 2) % gs or n_in % gs):
+                            gs //= 2
                         out.update(chunked(
-                            lambda w: quantize_kernel_int4(w, group_size),
+                            lambda w, gs=gs: quantize_kernel_int4(w, gs),
                             v))
                     elif act_quant:
                         q = chunked(quantize_kernel, v)

@@ -29,14 +29,26 @@ from emu_tpu.pipelines import preprocess
 class EmuChatGeneration:
     def __init__(self, params: dict, cfg: Emu2Config,
                  tokenizer: Optional[T.EmuTokenizer] = None,
-                 mesh=None, fuse: bool = True):
+                 mesh=None, fuse: bool = True,
+                 quantize: Optional[str] = None):
         """fuse=True (default) rewrites the decoder to the fused
         qkv_proj/gate_up layout (llama.fuse_projections) — numerically
-        exact, one projection launch instead of three per decode step."""
+        exact, one projection launch instead of three per decode step.
+
+        quantize: None | "int8" | "int4" | "int4-s4" — the serving-grade
+        quantization recipe (decoder weight-only + vision tower W8A8;
+        ops/quant.quantize_model_params), ≙ the reference demo backend's
+        4-bit flag (ref Emu2/demo/backend/hf_model/emu/chat.py:59-67)."""
         if fuse and "q_proj" in params["decoder"]["layers"]["self_attn"]:
             from emu_tpu.models import llama
             params = dict(params,
                           decoder=llama.fuse_projections(params["decoder"]))
+        if quantize:
+            from emu_tpu.ops.quant import quantize_model_params
+            # no donation: callers may share the float tree across
+            # replica builds (serving --tiny)
+            params = jax.jit(
+                lambda p: quantize_model_params(p, quantize))(params)
         self.cfg = cfg
         self.tokenizer = tokenizer or T.EmuTokenizer.emu2(
             instruct=cfg.instruct)

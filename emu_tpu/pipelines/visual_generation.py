@@ -41,7 +41,15 @@ class EmuVisualGeneration:
                  vae_params: dict, vae_cfg: VAEConfig,
                  tokenizer: Optional[T.EmuTokenizer] = None,
                  scheduler_cfg: SchedulerConfig = SchedulerConfig(),
-                 safety_checker: Optional[Callable] = None):
+                 safety_checker: Optional[Callable] = None,
+                 quantize: Optional[str] = None):
+        if quantize:
+            # serving-grade recipe: decoder weight-only int8/int4 +
+            # vision tower W8A8 (ops/quant.quantize_model_params; ≙ ref
+            # demo 4-bit flag, Emu2/demo/backend/hf_model/emu/chat.py:59)
+            from emu_tpu.ops.quant import quantize_model_params
+            emu_params = jax.jit(
+                lambda p: quantize_model_params(p, quantize))(emu_params)
         self.emu_params, self.emu_cfg = emu_params, emu_cfg
         self.unet_params, self.unet_cfg = unet_params, unet_cfg
         self.vae_params, self.vae_cfg = vae_params, vae_cfg

@@ -48,6 +48,12 @@ def main():
                         "interleaved with decode (Sarathi-style; no "
                         "prefill stall). Keep N <= 32 for the Pallas "
                         "decode kernel.")
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "int4", "int4-s4"],
+                   help="serving-grade weight quantization for the chat "
+                        "and generation pipelines (decoder weight-only + "
+                        "vision tower W8A8; ≙ the reference demo's 4-bit "
+                        "flag)")
     p.add_argument("--kv_quant", action="store_true",
                    help="with --continuous: int8 KV cache (2x context "
                         "capacity per chip)")
@@ -81,10 +87,12 @@ def main():
                                  T.emu2_special_tokens(),
                                  base_vocab=cfg.llama.vocab_size)
             params = emu2.init(jax.random.PRNGKey(0), cfg)
-            build = lambda i: EmuChatGeneration(params, cfg, tok)
+            build = lambda i: EmuChatGeneration(params, cfg, tok,
+                                                quantize=args.quantize)
         else:
             build = lambda i: EmuChatGeneration.from_pretrained(
-                args.chat_ckpt, instruct=True, dtype=jnp.bfloat16)
+                args.chat_ckpt, instruct=True, dtype=jnp.bfloat16,
+                quantize=args.quantize)
         if args.continuous:
             from emu_tpu.serving.continuous_helper import \
                 ContinuousChatHelper
