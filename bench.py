@@ -539,6 +539,10 @@ def main():
              "steps/s"),
             ("Emu1 caption e2e bf16 (two-point depth fit from 8/4 "
              "decoder layers)", bench_emu1_caption, "captions/s/chip"),
+            ("Emu1 caption e2e bf16 device-preprocess (raw 448^2 uint8 "
+             "in; fused resize+normalize on device; depth fit)",
+             functools.partial(bench_emu1_caption, device_pre=True),
+             "captions/s/chip"),
             ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
             ("SDXL-class UNet CFG 128^2 W8A8 transformer interior",
              functools.partial(bench_sdxl_unet_step, int8=True),
@@ -568,20 +572,25 @@ def main():
 
 
 def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
-                       full_depth: bool = False):
+                       full_depth: bool = False,
+                       device_pre: bool = False):
     """End-to-end Emu1 captioning (the north-star workload): image →
     ViT-g encode → CausalFormer → multimodal prompt prefill → greedy
     decode of 20 tokens (COCO eval default). full_depth=True (int8 only)
     runs the TRUE 40-layer decoder (int8 13.3 GB + W8A8 encoder fit
     HBM); otherwise a two-point depth fit (layers and layers/2 e2e
     timings) projects 40 decoder layers — the encoder/lm_head/sampling
-    cost lands in the fit's fixed term instead of being scaled x(40/L)."""
+    cost lands in the fit's fixed term instead of being scaled x(40/L).
+    device_pre=True feeds RAW 448² uint8 frames and fuses
+    resize-to-224 + CLIP normalize on device inside the same jitted e2e
+    program (the BASELINE.json north-star transfer path)."""
     if full_depth:
         assert int8, "full-depth caption requires the int8 decoder"
-        return batch / _emu1_caption_time(batch, 40, new, int8, True)
-    dt = _emu1_caption_time(batch, layers, new, int8, False)
+        return batch / _emu1_caption_time(batch, 40, new, int8, True,
+                                          device_pre)
+    dt = _emu1_caption_time(batch, layers, new, int8, False, device_pre)
     lo = max(layers // 2, 1)
-    dt_lo = _emu1_caption_time(batch, lo, new, int8, False)
+    dt_lo = _emu1_caption_time(batch, lo, new, int8, False, device_pre)
     per_layer = max(dt - dt_lo, 0.0) / (layers - lo)
     fixed = max(dt - layers * per_layer, 0.0)
     print(f"caption depth fit: fixed {fixed * 1e3:.1f} ms/batch, "
@@ -589,7 +598,8 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
     return batch / (fixed + 40 * per_layer)
 
 
-def _emu1_caption_time(batch, layers, new, int8, full_depth):
+def _emu1_caption_time(batch, layers, new, int8, full_depth,
+                       device_pre=False):
     """Min-of-3 seconds for one batched e2e caption call at this depth."""
     from emu_tpu.config import Emu1Config, LlamaConfig
     from emu_tpu.generation import GenerationConfig
@@ -622,8 +632,13 @@ def _emu1_caption_time(batch, layers, new, int8, full_depth):
                 donate_argnums=0)(params)
         params = dict(params,
                       decoder=llama.fuse_projections(params["decoder"]))
-    images = jax.random.normal(jax.random.PRNGKey(1),
-                               (batch, 224, 224, 3), jnp.bfloat16)
+    if device_pre:
+        images = jax.random.randint(jax.random.PRNGKey(1),
+                                    (batch, 448, 448, 3), 0, 256,
+                                    jnp.uint8)
+    else:
+        images = jax.random.normal(jax.random.PRNGKey(1),
+                                   (batch, 224, 224, 3), jnp.bfloat16)
     img_tok = 32003
     # "USER: [IMG] <image>*32 [/IMG] describe ... ASSISTANT:"-shaped prompt
     prompt = ([7] * 6 + [32001] + [img_tok] * cfg.n_causal + [32002]
@@ -635,6 +650,9 @@ def _emu1_caption_time(batch, layers, new, int8, full_depth):
 
     @jax.jit
     def e2e(p, im):
+        if device_pre:
+            from emu_tpu.pipelines.preprocess import device_preprocess
+            im = device_preprocess(im, 224).astype(jnp.bfloat16)
         embeds = emu1.encode_image(p, cfg, im).reshape(-1, 5120)
         return emu1.generate(p, cfg, ids, mask, embeds, gcfg, img_tok)
 

@@ -30,7 +30,8 @@ class EmuChatGeneration:
     def __init__(self, params: dict, cfg: Emu2Config,
                  tokenizer: Optional[T.EmuTokenizer] = None,
                  mesh=None, fuse: bool = True,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 preprocess_mode: str = "host"):
         """fuse=True (default) rewrites the decoder to the fused
         qkv_proj/gate_up layout (llama.fuse_projections) — numerically
         exact, one projection launch instead of three per decode step.
@@ -38,7 +39,14 @@ class EmuChatGeneration:
         quantize: None | "int8" | "int4" | "int4-s4" — the serving-grade
         quantization recipe (decoder weight-only + vision tower W8A8;
         ops/quant.quantize_model_params), ≙ the reference demo backend's
-        4-bit flag (ref Emu2/demo/backend/hf_model/emu/chat.py:59-67)."""
+        4-bit flag (ref Emu2/demo/backend/hf_model/emu/chat.py:59-67).
+
+        preprocess_mode: "host" (PIL bicubic, bit-exact vs the reference
+        transform, ref Emu2/emu/chat.py:35-39) or "device" (host→TPU
+        transfer is RAW uint8 bytes; fused resize+normalize on device —
+        the north-star data path; pixel values differ from PIL at the
+        ~1e-2 level from bicubic antialiasing)."""
+        assert preprocess_mode in ("host", "device"), preprocess_mode
         if fuse and "q_proj" in params["decoder"]["layers"]["self_attn"]:
             from emu_tpu.models import llama
             params = dict(params,
@@ -60,6 +68,12 @@ class EmuChatGeneration:
             from emu_tpu.parallel import shard_params
             params = shard_params(params, mesh, emu2.sharding_rules)
         self.params = params
+        self.preprocess_mode = preprocess_mode
+        # encode in the tower's compute dtype: host preprocessing yields
+        # fp32 numpy, and feeding that to a bf16 tower silently promotes
+        # the whole ViT to fp32 matmuls (dense casts kernels to x.dtype)
+        # patch_embed is never quantized (VIT_PATTERNS covers blocks only)
+        self._img_dtype = params["visual"]["patch_embed"]["kernel"].dtype
 
     def multito(self, devices) -> "EmuChatGeneration":
         """Device-list API shim over mesh sharding (≙ the reference's
@@ -94,10 +108,15 @@ class EmuChatGeneration:
 
     # -- input assembly (ref chat.py:121-195) -------------------------------
 
+    def _preprocess(self, image):
+        if self.preprocess_mode == "device":
+            return preprocess.to_uint8_rgb(image)      # raw bytes; resize
+        size = self.cfg.vision.image_size              # + normalize on TPU
+        return preprocess.preprocess_image(image, size)
+
     def _prepare_inputs(self, inputs):
         is_video = False
         text, images, videos = "", [], []
-        size = self.cfg.vision.image_size
         for x in inputs:
             if x == T.FAKE_VIDEO_END:
                 is_video = False
@@ -107,10 +126,10 @@ class EmuChatGeneration:
                 text += x
             elif is_video:
                 text += T.VID_PLACEHOLDER
-                videos.append(preprocess.preprocess_image(x, size))
+                videos.append(self._preprocess(x))
             else:
                 text += T.IMG_PLACEHOLDER
-                images.append(preprocess.preprocess_image(x, size))
+                images.append(self._preprocess(x))
         return text, images, videos
 
     def _prepare_chat_inputs(self, inputs, is_grounding: bool):
@@ -157,17 +176,33 @@ class EmuChatGeneration:
             videos += vid
         return texts, images, videos
 
-    def _encode_visuals(self, images, videos):
+    def _image_batch(self, arrs):
+        """Preprocessed list → device batch in the tower's compute dtype.
+        Device mode ships raw uint8 and fuses resize+normalize on TPU
+        (per-shape groups: raw images may differ in resolution)."""
         import jax.numpy as jnp
+        size = self.cfg.vision.image_size
+        if self.preprocess_mode != "device":
+            return jnp.asarray(np.stack(arrs)).astype(self._img_dtype)
+        if all(a.shape == arrs[0].shape for a in arrs):
+            x = preprocess.device_preprocess(jnp.asarray(np.stack(arrs)),
+                                             size)
+        else:
+            x = jnp.concatenate(
+                [preprocess.device_preprocess(jnp.asarray(a)[None], size)
+                 for a in arrs])
+        return x.astype(self._img_dtype)
+
+    def _encode_visuals(self, images, videos):
         image_embeds = video_embeds = None
         if images:
-            batch = jnp.asarray(np.stack(images))
-            e = emu2.encode_image_lm(self.params, self.cfg, batch,
+            e = emu2.encode_image_lm(self.params, self.cfg,
+                                     self._image_batch(images),
                                      self.cfg.n_query)
             image_embeds = e.reshape(-1, e.shape[-1])
         if videos:
-            batch = jnp.asarray(np.stack(videos))
-            e = emu2.encode_image_lm(self.params, self.cfg, batch,
+            e = emu2.encode_image_lm(self.params, self.cfg,
+                                     self._image_batch(videos),
                                      self.cfg.v_query)
             video_embeds = e.reshape(-1, e.shape[-1])
         return image_embeds, video_embeds

@@ -36,6 +36,21 @@ def preprocess_batch(images: Sequence, size: int) -> np.ndarray:
     return np.stack([preprocess_image(im, size) for im in images])
 
 
+def to_uint8_rgb(image) -> np.ndarray:
+    """PIL image / array → raw uint8 [H, W, 3] with NO host resize or
+    normalize — the transfer format for the device-preprocess path
+    (device_preprocess does the rest on TPU)."""
+    from PIL import Image
+    if isinstance(image, Image.Image):
+        return np.asarray(image.convert("RGB"), np.uint8)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
 @functools.partial(__import__("jax").jit, static_argnums=(1,))
 def device_preprocess(raw_uint8, size: int):
     """uint8 [B, H, W, 3] → normalized fp32 [B, size, size, 3], on device.

@@ -54,6 +54,10 @@ def main():
                         "and generation pipelines (decoder weight-only + "
                         "vision tower W8A8; ≙ the reference demo's 4-bit "
                         "flag)")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship raw uint8 images to the TPU and fuse "
+                        "resize+normalize on device (host PIL bicubic "
+                        "otherwise)")
     p.add_argument("--kv_quant", action="store_true",
                    help="with --continuous: int8 KV cache (2x context "
                         "capacity per chip)")
@@ -86,13 +90,17 @@ def main():
             tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
                                  T.emu2_special_tokens(),
                                  base_vocab=cfg.llama.vocab_size)
+            pre = "device" if args.device_preprocess else "host"
             params = emu2.init(jax.random.PRNGKey(0), cfg)
             build = lambda i: EmuChatGeneration(params, cfg, tok,
-                                                quantize=args.quantize)
+                                                quantize=args.quantize,
+                                                preprocess_mode=pre)
         else:
             build = lambda i: EmuChatGeneration.from_pretrained(
                 args.chat_ckpt, instruct=True, dtype=jnp.bfloat16,
-                quantize=args.quantize)
+                quantize=args.quantize,
+                preprocess_mode=("device" if args.device_preprocess
+                                 else "host"))
         if args.continuous:
             from emu_tpu.serving.continuous_helper import \
                 ContinuousChatHelper

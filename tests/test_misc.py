@@ -162,3 +162,66 @@ def test_from_emu1_json_real_reference_config():
     assert cfg.llama.hidden_size == 5120
     inst = Emu1Config.from_emu1_json(path, instruct=True)
     assert inst.llama.extended_vocab_size == 32006
+
+
+def test_chat_pipeline_device_preprocess_mode():
+    """preprocess_mode="device": host→device transfer is raw uint8; the
+    fused resize+normalize runs on device (VERDICT r2 item 3/BASELINE
+    north star). Mixed input resolutions batch per shape group."""
+    from PIL import Image
+    from emu_tpu import tokenization as T
+    from emu_tpu.config import Emu2Config
+    from emu_tpu.models import emu2
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    from emu_tpu.pipelines.preprocess import device_preprocess
+
+    cfg = Emu2Config.tiny()
+    tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                         T.emu2_special_tokens(),
+                         base_vocab=cfg.llama.vocab_size)
+    params = emu2.init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    host_pipe = EmuChatGeneration(params, cfg, tok)
+    dev_pipe = EmuChatGeneration(params, cfg, tok,
+                                 preprocess_mode="device")
+
+    rng = np.random.default_rng(1)
+    im_a = Image.fromarray(rng.integers(0, 255, (40, 48, 3), np.uint8))
+    im_b = Image.fromarray(rng.integers(0, 255, (56, 56, 3), np.uint8))
+
+    # mechanism: the pipeline's batch equals device_preprocess exactly
+    size = cfg.vision.image_size
+    arrs = [np.asarray(im_a.convert("RGB"), np.uint8),
+            np.asarray(im_b.convert("RGB"), np.uint8)]
+    got = np.asarray(dev_pipe._image_batch(arrs))
+    want = np.concatenate([
+        np.asarray(device_preprocess(jnp.asarray(a)[None], size))
+        for a in arrs])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # behavior: generates; pixels track the host path closely enough
+    # that the visual embeds correlate (different bicubic kernels)
+    out = dev_pipe([im_a, "what is this"], num_beams=1, max_new_tokens=3)
+    assert isinstance(out, str)
+    h = np.asarray(host_pipe._image_batch(
+        [np.asarray(host_pipe._preprocess(im_a))]))
+    d = np.asarray(dev_pipe._image_batch(
+        [np.asarray(dev_pipe._preprocess(im_a))]))
+    assert np.abs(h - d).mean() < 0.15
+
+
+def test_chat_pipeline_casts_images_to_tower_dtype():
+    """Host preprocessing yields fp32; a bf16 tower must see bf16 pixels
+    or every ViT matmul silently promotes to fp32."""
+    from emu_tpu import tokenization as T
+    from emu_tpu.config import Emu2Config
+    from emu_tpu.models import emu2
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    cfg = Emu2Config.tiny()
+    tok = T.EmuTokenizer(T.SimpleTokenizer(cfg.llama.vocab_size),
+                         T.emu2_special_tokens(),
+                         base_vocab=cfg.llama.vocab_size)
+    params = emu2.init(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    pipe = EmuChatGeneration(params, cfg, tok)
+    x = pipe._image_batch([np.zeros(
+        (cfg.vision.image_size, cfg.vision.image_size, 3), np.float32)])
+    assert x.dtype == jnp.bfloat16
