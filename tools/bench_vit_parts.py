@@ -12,9 +12,22 @@ import jax
 import jax.numpy as jnp
 
 
-B, S, W, HID, H, D = 32, 257, 1408, 6144, 16, 88
+import sys
+
+if "--model" in sys.argv and sys.argv[sys.argv.index("--model") + 1] == "4b":
+    # EVA-CLIP-4B (Emu2): 448px → 1025 tokens, width 1792, head_dim 112,
+    # mlp_hidden 15360 (ratio 60/7). Production fused-MLP tier for
+    # dim 1792 is (bm 256, bf 512) — ops/layers._fused_mlp_bf.
+    B, S, W, HID, H, D = 8, 1025, 1792, 15360, 16, 112
+    BM, BF, BN = 256, 512, 512
+    K_ITERS = 100
+    LAYERS = 64
+else:
+    B, S, W, HID, H, D = 32, 257, 1408, 6144, 16, 88
+    BM, BF, BN = 512, 768, 384
+    K_ITERS = 500
+    LAYERS = 40
 M = B * S
-K_ITERS = 500
 
 
 def _fetch(x):
@@ -74,7 +87,7 @@ def main():
 
     gf_qkv = 2 * M * W * 3 * H * D / 1e9
     dt = _time(loop(lambda xx: fused_dense(
-        xx, wqkv, bqkv, lns, lnb, ln_mode="pre", bm=512, bn=384)), x)
+        xx, wqkv, bqkv, lns, lnb, ln_mode="pre", bm=BM, bn=BN)), x)
     report("fused LN+QKV dense", dt, gf_qkv)
 
     dt = _time(loop(lambda xx: jnp.dot(xx, wqkv,
@@ -134,13 +147,13 @@ def main():
     gf_mlp = 2 * 2 * M * W * HID / 1e9
     dt = _time(loop(lambda xx: fused_mlp(
         xx, w1, b1, w2, b2, ln_mode="pre", residual=True, eps=1e-6,
-        ln_scale=lns, ln_bias=lnb, bm=512, bf=768)), x)
+        ln_scale=lns, ln_bias=lnb, bm=BM, bf=BF)), x)
     report("fused LN+MLP+residual", dt, gf_mlp)
 
     total_gf = gf_qkv + gf_mha + gf_proj + gf_mlp
     print(f"layer total ideal at {tf:.0f} TF/s: "
           f"{total_gf / tf * 1e3:.2f} ms -> "
-          f"{B / (40 * total_gf / tf / 1e3):.0f} img/s roofline")
+          f"{B / (LAYERS * total_gf / tf / 1e3):.0f} img/s roofline")
 
 
 if __name__ == "__main__":
