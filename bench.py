@@ -794,7 +794,7 @@ def _llama_train_step_time(batch, seq, layers, k, remat="dots"):
     return _time_call(lambda: steps(params, opt_state, ids, mask))
 
 
-def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
+def bench_llama_train(batch=8, seq=1024, layers=4, k=3, remat="dots"):
     """Training-step throughput: masked-CE LM objective at true 13B layer
     dims (reduced depth), per-layer remat, adafactor (the memory-lean
     TPU-classic optimizer — adamw moments at these dims would not leave
@@ -811,13 +811,14 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3):
     # the `layers`-deep step already rides the HBM edge (5 layers OOMs at
     # these dims), so the second depth point goes DOWN: layers/2.
     lo = max(layers // 2, 1)
-    dt_hi = _llama_train_step_time(batch, seq, layers, k)
-    dt_lo = _llama_train_step_time(batch, seq, lo, k)
+    dt_hi = _llama_train_step_time(batch, seq, layers, k, remat)
+    dt_lo = _llama_train_step_time(batch, seq, lo, k, remat)
     per_layer = max(dt_hi - dt_lo, 0.0) / (layers - lo)
     fixed = max(dt_hi - layers * per_layer, 0.0)
     dt_full = fixed + 40 * per_layer
-    print(f"train depth fit: fixed {fixed / k * 1e3:.1f} ms/step, "
-          f"per-layer {per_layer / k * 1e3:.2f} ms/step", file=sys.stderr)
+    print(f"train depth fit ({remat}): fixed {fixed / k * 1e3:.1f} "
+          f"ms/step, per-layer {per_layer / k * 1e3:.2f} ms/step",
+          file=sys.stderr)
     return batch * seq * k / dt_full
 
 

@@ -194,7 +194,13 @@ def _layer(p, cfg, x, rope_rows, new_kv_fn, kv_valid, causal,
     h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
     q, k_new, v_new = _qkv(p["self_attn"], cfg, h, rope_rows)
     kv, cache_out = new_kv_fn(k_new, v_new)
-    x = x + _attn(p["self_attn"], cfg, q, kv, kv_valid, causal, mask)
+    attn_out = _attn(p["self_attn"], cfg, q, kv, kv_valid, causal, mask)
+    # named so the "dots+attn" remat policy can keep it resident: the
+    # attention kernel is a pallas call, which dots_-policies can't save,
+    # so plain "dots" remat re-runs the whole flash forward in backward
+    from jax.ad_checkpoint import checkpoint_name
+    attn_out = checkpoint_name(attn_out, "attn_out")
+    x = x + attn_out
     from emu_tpu.ops.q4_matmul import fused_swiglu_q4, swiglu_q4_plan
     if swiglu_q4_plan(p["post_attention_layernorm"], p["mlp"], x):
         gu, dn = p["mlp"]["gate_up"], p["mlp"]["down"]
@@ -239,6 +245,15 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
         body = jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat == "dots+attn":
+        # dots + the named attention output (a pallas-call result the
+        # dots policy can't see): backward skips the flash-fwd re-run at
+        # the cost of one [B, S, H*D] resident per layer
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_out")))
     elif remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
