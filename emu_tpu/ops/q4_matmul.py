@@ -211,8 +211,13 @@ def _make_swiglu_kernel(nf: int, gd: int, gs_d: int, gs_f: int, bf: int,
             acc[:] = jnp.zeros_like(acc)
             xf = x_ref[:].astype(jnp.float32)
             var = jnp.mean(jnp.square(xf[:obm]), axis=-1, keepdims=True)
-            pad = jnp.ones((xq.shape[0] - obm, 1), jnp.float32)
-            rs = jnp.concatenate([jax.lax.rsqrt(var + eps), pad], axis=0)
+            rs = jax.lax.rsqrt(var + eps)
+            if obm < xq.shape[0]:
+                # pad rows normalize by 1 (their quantized rows are junk
+                # but masked out of the [:obm] outputs); zero-row pads
+                # are invalid Mosaic broadcasts, so skip when obm == bm
+                pad = jnp.ones((xq.shape[0] - obm, 1), jnp.float32)
+                rs = jnp.concatenate([rs, pad], axis=0)
             xn = ((xf * rs).astype(x_ref.dtype).astype(jnp.float32)
                   * rms_ref[0].astype(jnp.float32))
             s = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
@@ -251,8 +256,10 @@ def _make_swiglu_kernel(nf: int, gd: int, gs_d: int, gs_f: int, bf: int,
             s = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True)
                             / 127.0, 1e-8)
             q = jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
-            pad = jnp.zeros((xq.shape[0] - obm, q.shape[1]), jnp.int8)
-            return jnp.concatenate([q, pad], axis=0), s
+            if obm < xq.shape[0]:
+                pad = jnp.zeros((xq.shape[0] - obm, q.shape[1]), jnp.int8)
+                q = jnp.concatenate([q, pad], axis=0)
+            return q, s
 
         hq1, s1 = requant(h1)
         hq2, s2 = requant(h2)

@@ -319,6 +319,34 @@ def test_fused_swiglu_q4_matches_reference():
     assert rel < 0.05, rel
 
 
+def test_fused_swiglu_q4_full_block_batch():
+    """m > 8 drives obm == bm (full 32-row block): the pad-row concats
+    must vanish — zero-row pads are invalid Mosaic broadcasts and killed
+    the b32 packed-int4 decode lane on chip (probe r3)."""
+    from emu_tpu.ops.q4_matmul import fused_swiglu_q4
+    from emu_tpu.ops.quant import dequantize_int4, quantize_kernel_int4
+    ks = iter(jax.random.split(jax.random.PRNGKey(32), 4))
+    d, f, m = 512, 2048, 32
+    x = jax.random.normal(next(ks), (m, 1, d))
+    rms = 1.0 + 0.1 * jax.random.normal(next(ks), (d,))
+    w_gu = jax.random.normal(next(ks), (d, 2 * f)) * 0.05
+    w_dn = jax.random.normal(next(ks), (f, d)) * 0.05
+    q_gu = quantize_kernel_int4(w_gu)
+    q_dn = quantize_kernel_int4(w_dn)
+
+    xn = L.rms_norm(rms, x)
+    gu = xn @ dequantize_int4(q_gu, jnp.float32)
+    g, u = jnp.split(gu, 2, axis=-1)
+    ref = np.asarray(x + (jax.nn.silu(g) * u)
+                     @ dequantize_int4(q_dn, jnp.float32))
+    out = np.asarray(fused_swiglu_q4(
+        x, rms, q_gu["kernel_q4"], q_gu["scale4"],
+        q_dn["kernel_q4"], q_dn["scale4"], interpret=True))
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, rel
+
+
 def test_fused_swiglu_q4_group_size_256():
     """group_size=256 layouts (gs_f=256 with the default bf=384 request)
     must snap the F-block to the group grid — the old blocking logic
