@@ -92,6 +92,93 @@ def test_safety_checker_blacks_out_flagged():
     assert out.max() == 0.0
 
 
+def test_safety_checker_hf_clip_golden():
+    """clip_image_embeds on a CONVERTED real (random) HF CLIP state dict
+    matches torch CLIPVisionModelWithProjection, and the concept /
+    special-care threshold logic matches the diffusers algorithm
+    computed by hand (ref Emu1/models/pipeline.py:203-216)."""
+    import torch
+    from transformers import CLIPVisionConfig as HFCfg
+    from transformers import CLIPVisionModelWithProjection
+    from emu_tpu.models.safety_checker import (
+        CLIPVisionConfig, SafetyChecker, clip_image_embeds,
+        convert_safety_checker)
+
+    cfg = CLIPVisionConfig.tiny()
+    hf = CLIPVisionModelWithProjection(HFCfg(
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        projection_dim=cfg.projection_dim, hidden_act="quick_gelu"))
+    hf.eval()
+
+    rng = np.random.default_rng(5)
+    # the safety checker nests CLIPVisionModel under .vision_model, so
+    # its state-dict keys carry a doubled prefix
+    sd = {("vision_model." + k if k.startswith("vision_model.") else k):
+          v.numpy() for k, v in hf.state_dict().items()}
+    n_c, n_s = 4, 2
+    sd["concept_embeds"] = rng.standard_normal(
+        (n_c, cfg.projection_dim)).astype(np.float32)
+    sd["special_care_embeds"] = rng.standard_normal(
+        (n_s, cfg.projection_dim)).astype(np.float32)
+    sd["concept_embeds_weights"] = np.full(n_c, 0.5, np.float32)
+    sd["special_care_embeds_weights"] = np.full(n_s, 0.5, np.float32)
+    params = convert_safety_checker(sd, cfg)
+
+    pix = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)
+                              ).astype(np.float32)
+    ours = np.asarray(clip_image_embeds(params, cfg, jnp.asarray(pix)))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(pix.transpose(0, 3, 1, 2))
+                    ).image_embeds.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
+
+    # threshold logic vs a hand-computed diffusers reference
+    checker = SafetyChecker(params, cfg)
+    imgs = rng.random((2, cfg.image_size, cfg.image_size, 3)
+                      ).astype(np.float32)
+    emb = np.asarray(clip_image_embeds(
+        params, cfg, checker.clip_preprocess(imgs)))
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        return a @ b.T
+
+    sc = cos(emb, sd["special_care_embeds"]) - 0.5
+    adj = np.where((sc > 0).any(1), 0.01, 0.0)[:, None]
+    expect = ((cos(emb, sd["concept_embeds"]) - 0.5 + adj) > 0).any(1)
+    _, nsfw = checker(imgs)
+    assert nsfw == expect.tolist()
+
+
+def test_safety_checker_wired_into_pipeline():
+    """A SafetyChecker hooked into EmuVisualGeneration blacks out a
+    flagged generation and reports it (ref Emu2/emu/diffusion.py:236-249
+    runs the checker after VAE decode)."""
+    from emu_tpu.models.safety_checker import (CLIPVisionConfig,
+                                               SafetyChecker, init)
+    from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
+    from tests.test_pipelines import _tiny_tokenizer
+
+    cfg = CLIPVisionConfig.tiny()
+    params = init(jax.random.PRNGKey(3), cfg)
+    params["concept_embeds_weights"] = jnp.full((17,), -2.0)  # always flag
+    pipe = EmuVisualGeneration.from_config(tiny=True, dtype=jnp.float32)
+    pipe.tokenizer = _tiny_tokenizer("emu2")
+    pipe.safety_checker = SafetyChecker(params, cfg)
+    out = pipe("a photo", num_inference_steps=2, height=32, width=32)
+    assert out.nsfw_content_detected == [True]
+    assert np.asarray(out.image).max() == 0
+
+    pipe.safety_checker = SafetyChecker(
+        {**params, "concept_embeds_weights": jnp.full((17,), 2.0)}, cfg)
+    out = pipe("a photo", num_inference_steps=2, height=32, width=32)
+    assert out.nsfw_content_detected == [False]
+
+
 def test_safety_checker_converter_roundtrip():
     from emu_tpu.models.safety_checker import (CLIPVisionConfig,
                                                convert_safety_checker, init)
