@@ -454,19 +454,27 @@ def main():
         p4 = (init_llama_quant_full(_llama_13b_cfg(40), "int4")
               if _budget_left() > 0 and any(want(s) for s in (
                   "llama-13B decode int4 full-depth b8 native-s4",
+                  "llama-13B decode int4 full-depth b32 int8-KV s4-mlp",
                   "llama-13B decode int4 full-depth 2k-ctx int8-KV b4"))
               else None)
         run("llama-13B decode int4 full-depth b8 native-s4",
             with_s4(functools.partial(bench_llama_decode, layers=40,
                                       quant="int4", params=p4)),
             "tok/s/chip")
-        # No b32-s4 lane: next to the 2.5 GB b32 int8 KV cache the s4
-        # conversion overflows HBM even mlp-only — XLA materializes
-        # 2x1.32 GB pre-stack gate_up nibble planes at b32 shapes (the
-        # same program fuses them at b8), and 240 MB is the shortfall.
-        # b32 high-throughput serving stays int8 (841 tok/s lane above).
-        # b4: at b8 the int8 KV alone is 6.2 GB next to 6.7 GB weights and
-        # XLA's ~4 GB while-loop fragmentation blows the 16 GB HBM
+        # b32 s4 is MLP-ONLY (EMU_TPU_DECODE_S4=mlp): full s4 at b32
+        # crashes the remote compile helper, and before the lax.map
+        # unpack serialization (d5e9c39) even mlp-only overflowed HBM
+        # (XLA materialized 2x1.32 GB pre-stack gate_up nibble planes).
+        # Serialized, the mlp weights (~70% of bytes) stream as s4 and
+        # the lane beats the int8 841 tok/s (probe r3: 884).
+        run("llama-13B decode int4 full-depth b32 int8-KV s4-mlp",
+            with_s4(functools.partial(bench_llama_decode, batch=32,
+                                      layers=40, quant="int4",
+                                      kv_quant=True, params=p4),
+                    mode="mlp"),
+            "tok/s/chip")
+        # b4 2k: at b8 the int8 KV alone is 6.2 GB next to 6.7 GB weights
+        # and XLA's ~4 GB while-loop fragmentation blows the 16 GB HBM
         run("llama-13B decode int4 full-depth 2k-ctx int8-KV b4",
             functools.partial(bench_llama_decode, batch=4, layers=40,
                               quant="int4", prompt=1984, kv_quant=True,
