@@ -238,7 +238,7 @@ def quantize_unet_params(params):
     return quantize_tree(params, UNET_PATTERNS, act_quant=True)
 
 
-QUANTIZE_MODES = ("int8", "int4", "int4-s4")
+QUANTIZE_MODES = ("int8", "int4", "int4-s4", "int4-s4mlp")
 
 
 def quantize_model_params(params: dict, mode: str) -> dict:
@@ -253,9 +253,13 @@ def quantize_model_params(params: dict, mode: str) -> dict:
     int8 MXU path is the win; int4 buys nothing there so the tower is
     W8A8 in both modes). "int4-s4" additionally materializes persistent
     native-s4 buffers at load — backends where s4 arrays cross jit
-    boundaries (CPU, real TPU). On the tunnel backend that is not
-    possible (RecursionError); use "int4" + EMU_TPU_DECODE_S4=1 there
-    (per-program materialization, 2x in-program weight residency).
+    boundaries (CPU, real TPU). "int4-s4mlp" materializes only the MLP
+    weights (~70% of bytes) — the measured-best recipe when persistent
+    residency is tight next to a large KV cache (the b32 serving
+    shape: 885 tok/s vs int8's 841 on v5e-1). On the tunnel backend
+    materialization at load is not possible (RecursionError); use
+    "int4" + EMU_TPU_DECODE_S4=1|mlp there (per-program
+    materialization, up to 2x in-program weight residency).
 
     Already-quantized leaves are left untouched (idempotent)."""
     if mode not in QUANTIZE_MODES:
@@ -269,16 +273,18 @@ def quantize_model_params(params: dict, mode: str) -> dict:
     if "decoder" in out:
         out["decoder"] = quantize_tree(out["decoder"], bits=bits,
                                        layer_chunked=True)
-        if mode == "int4-s4":
+        if mode.startswith("int4-s4"):
             if jax.default_backend() == "axon":
                 import warnings
                 warnings.warn(
-                    "int4-s4: s4 arrays cannot cross a jit boundary on "
+                    f"{mode}: s4 arrays cannot cross a jit boundary on "
                     "the tunneled backend; keeping packed int4 — set "
-                    "EMU_TPU_DECODE_S4=1 for per-program materialization",
-                    stacklevel=2)
+                    "EMU_TPU_DECODE_S4=1|mlp for per-program "
+                    "materialization", stacklevel=2)
             else:
-                out["decoder"] = materialize_s4_tree(out["decoder"])
+                only = "mlp/" if mode == "int4-s4mlp" else ""
+                out["decoder"] = materialize_s4_tree(out["decoder"],
+                                                     only=only)
     return out
 
 

@@ -36,7 +36,8 @@ class EmuChatGeneration:
         qkv_proj/gate_up layout (llama.fuse_projections) — numerically
         exact, one projection launch instead of three per decode step.
 
-        quantize: None | "int8" | "int4" | "int4-s4" — the serving-grade
+        quantize: None | "int8" | "int4" | "int4-s4" | "int4-s4mlp"
+        — the serving-grade
         quantization recipe (decoder weight-only + vision tower W8A8;
         ops/quant.quantize_model_params), ≙ the reference demo backend's
         4-bit flag (ref Emu2/demo/backend/hf_model/emu/chat.py:59-67).

@@ -49,7 +49,7 @@ def main():
                         "prefill stall). Keep N <= 32 for the Pallas "
                         "decode kernel.")
     p.add_argument("--quantize", default=None,
-                   choices=["int8", "int4", "int4-s4"],
+                   choices=["int8", "int4", "int4-s4", "int4-s4mlp"],
                    help="serving-grade weight quantization for the chat "
                         "and generation pipelines (decoder weight-only + "
                         "vision tower W8A8; ≙ the reference demo's 4-bit "

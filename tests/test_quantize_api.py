@@ -89,6 +89,24 @@ def test_quantize_int4_s4_persistent_on_cpu(tiny_setup):
             == pipe.generate_batch([["hello"]], **kw))
 
 
+def test_quantize_int4_s4mlp_partial_materialization(tiny_setup):
+    """int4-s4mlp materializes ONLY the mlp planes (the measured-best
+    b32-serving recipe: s4 streaming for ~2/3 of weight bytes without
+    doubling attention-weight residency) and token-matches full s4."""
+    from emu_tpu.pipelines.chat import EmuChatGeneration
+    cfg, params, tok = tiny_setup
+    pipe = EmuChatGeneration(params, cfg, tok, quantize="int4-s4mlp")
+    dec = pipe.params["decoder"]["layers"]
+    assert "kernel_s4" in _tree_keys(dec["mlp"])
+    assert "kernel_q4" not in _tree_keys(dec["mlp"])
+    assert "kernel_q4" in _tree_keys(dec["self_attn"])
+    assert "kernel_s4" not in _tree_keys(dec["self_attn"])
+    full = EmuChatGeneration(params, cfg, tok, quantize="int4-s4")
+    kw = dict(num_beams=1, max_new_tokens=6, skip_special_tokens=False)
+    assert (pipe.generate_batch([["hello"]], **kw)
+            == full.generate_batch([["hello"]], **kw))
+
+
 def test_visual_generation_quantize_smoke():
     from emu_tpu.pipelines.visual_generation import EmuVisualGeneration
     pipe = EmuVisualGeneration.from_config(tiny=True, dtype=jnp.float32,
