@@ -1,10 +1,15 @@
 """Bisect the int4 4k-ctx batch-4 compile crash (VERDICT r2 item 9).
 
-Round-2 state: the (batch 4, prompt 4032, int8-KV, int4 full-depth)
-generate program reproducibly crashes the remote compile helper
-(HTTP 500, subprocess exit 1); b2-4k and b4-3k compile fine. This walks
-the prompt axis at b4 to map the boundary, then tries a b4-4k program
-at reduced depth to separate "program size" from "live-memory" causes.
+FINDINGS (measured r3, chip at 158 TFLOP/s): the crash is HBM
+exhaustion surfacing as a helper-subprocess death, not a program-size
+limit — b4 full-depth compiles at prompt 3520/3776/3904 (26.1/24.8/
+23.9 tok/s) and crashes at 4032 (int8 KV 6.45→6.66 GB next to 6.7 GB
+weights + ~3 GB while-loop overhead ≈ 16 GB); the same 4032 shape at
+depth 8 (1/5 the weights+KV) compiles fine (123.8 tok/s), and a
+deliberately over-HBM b4-4032 bf16-KV program (13.4 GB KV alone)
+crashes the helper the same way (HTTP 500, subprocess exit 1) instead
+of returning RESOURCE_EXHAUSTED. Mitigation: the bench lane runs b2.
+
 Run on TPU: python tools/probe_4k_b4.py [--fast]
 """
 
