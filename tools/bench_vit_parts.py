@@ -27,6 +27,16 @@ else:
     BM, BF, BN = 512, 768, 384
     K_ITERS = 500
     LAYERS = 40
+
+
+def _flag(name, default):
+    return (int(sys.argv[sys.argv.index(name) + 1])
+            if name in sys.argv else default)
+
+
+BM = _flag("--bm", BM)     # fused-MLP row block A/B override
+BF = _flag("--bf", BF)     # fused-MLP hidden block A/B override
+BN = _flag("--bn", BN)
 M = B * S
 
 
