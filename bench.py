@@ -535,8 +535,9 @@ def main():
              "captions/s/chip"),
             ("llama-13B-equiv train step", bench_llama_train,
              "tok/s/chip"),
-            ("train depth-fit validation (full remat; 4/2-layer fit vs "
-             "measured 8-layer)", bench_train_fit_validation, "% error"),
+            ("train depth-fit validation (full-width 2/3/4 collinearity "
+             "+ quarter-width 4/2-fit vs measured 8/16-layer)",
+             bench_train_fit_validation, "% error"),
             ("Emu1 t2i e2e 512^2 50-step PNDM (two-point decoder depth "
              "fit from 8/4 layers)", bench_emu1_t2i, "images/min"),
             ("Emu2-Gen e2e 1024^2 50-step Euler (two-point decoder "
@@ -762,13 +763,14 @@ def bench_emu2_gen(layers=8, steps=50):
     return 60.0 / (fixed + 60 * per_layer)
 
 
-def _llama_train_step_time(batch, seq, layers, k, remat="dots"):
+def _llama_train_step_time(batch, seq, layers, k, remat="dots",
+                           hidden=5120, inter=13824, heads=40):
     """Min-of-3 seconds for k chained train steps at the given depth."""
     import optax
     from emu_tpu.config import LlamaConfig
     from emu_tpu.models import llama
-    cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
-                      num_hidden_layers=layers, num_attention_heads=40,
+    cfg = LlamaConfig(hidden_size=hidden, intermediate_size=inter,
+                      num_hidden_layers=layers, num_attention_heads=heads,
                       vocab_size=32000, extended_vocab_size=32004,
                       max_position_embeddings=seq)
     params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -832,23 +834,43 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3, remat="dots"):
 
 def bench_train_fit_validation(batch=8, seq=1024, k=3):
     """Validates the depth-fit METHODOLOGY the train lane rests on
-    (VERDICT r2 weak-5): under FULL per-layer remat (which frees the
-    saved-dots memory so an 8-layer step actually fits), fit
-    fixed+per-layer from 4/2-layer steps and compare the predicted
-    8-layer time against a MEASURED 8-layer step. Returns the |error| in
-    percent — the linearity-in-depth assumption is shared by every
-    depth-fit lane, whatever the remat policy."""
-    dt4 = _llama_train_step_time(batch, seq, 4, k, remat=True)
-    dt2 = _llama_train_step_time(batch, seq, 2, k, remat=True)
-    per_layer = (dt4 - dt2) / 2
-    fixed = dt4 - 4 * per_layer
-    pred8 = fixed + 8 * per_layer
-    dt8 = _llama_train_step_time(batch, seq, 8, k, remat=True)
-    err = abs(dt8 - pred8) / dt8 * 100
-    print(f"train fit validation (full remat): predicted 8-layer "
-          f"{pred8 / k * 1e3:.1f} ms/step, measured {dt8 / k * 1e3:.1f} "
-          f"ms/step -> {err:.1f}% error", file=sys.stderr)
-    return err
+    (VERDICT r2 weak-5). An 8-layer step at TRUE 13B width does not fit
+    one 16 GB chip under ANY remat policy — the wall is weights+grads+
+    optimizer temporaries (5.1+5.1 GB + fp32 update copies), not
+    activations (bisected r3: L8 crashes even at seq 512 full remat;
+    L2/L4 compile under every policy). So the linearity-in-depth
+    assumption is validated two ways:
+
+    1. full-width COLLINEARITY: measure 2/3/4-layer steps, check the
+       interior 3-layer point sits on the 2-4 line;
+    2. long-range EXTRAPOLATION at quarter-size width (hidden 2560,
+       where 16 layers fits): fit fixed+per-layer from 4/2, then
+       compare predicted vs MEASURED 8- and 16-layer steps — the same
+       2x-8x extrapolation distance the 13B lanes use.
+
+    Returns the max |error| in percent across both checks."""
+    dt2 = _llama_train_step_time(batch, seq, 2, k)
+    dt3 = _llama_train_step_time(batch, seq, 3, k)
+    dt4 = _llama_train_step_time(batch, seq, 4, k)
+    err_full = abs(dt3 - (dt2 + dt4) / 2) / dt3 * 100
+    print(f"train fit validation (full width 2/3/4): interior point "
+          f"{err_full:.1f}% off the 2-4 line", file=sys.stderr)
+
+    def t(layers):
+        return _llama_train_step_time(batch, seq, layers, k,
+                                      hidden=2560, inter=6912, heads=20)
+    s2, s4 = t(2), t(4)
+    per = (s4 - s2) / 2
+    fixed = s4 - 4 * per
+    errs = []
+    for ell in (8, 16):
+        m = t(ell)
+        p = fixed + ell * per
+        errs.append(abs(m - p) / m * 100)
+        print(f"train fit validation (w2560, L{ell}): predicted "
+              f"{p / k * 1e3:.1f} ms/step, measured {m / k * 1e3:.1f} "
+              f"ms/step -> {errs[-1]:.1f}% error", file=sys.stderr)
+    return max(err_full, *errs)
 
 
 if __name__ == "__main__":
