@@ -19,7 +19,8 @@ if "--model" in sys.argv and sys.argv[sys.argv.index("--model") + 1] == "4b":
     # mlp_hidden 15360 (ratio 60/7). Production fused-MLP tier for
     # dim 1792 is (bm 256, bf 512) — ops/layers._fused_mlp_bf.
     B, S, W, HID, H, D = 8, 1025, 1792, 15360, 16, 112
-    BM, BF, BN = 256, 512, 512
+    # bn must tile 3*H*D = 5376 = 384 * 14 (512 does not divide it)
+    BM, BF, BN = 256, 512, 384
     K_ITERS = 100
     LAYERS = 64
 else:
@@ -37,6 +38,7 @@ def _flag(name, default):
 BM = _flag("--bm", BM)     # fused-MLP row block A/B override
 BF = _flag("--bf", BF)     # fused-MLP hidden block A/B override
 BN = _flag("--bn", BN)
+D = _flag("--d", D)        # head_dim A/B (e.g. zero-padded 112 -> 128)
 M = B * S
 
 
