@@ -245,6 +245,17 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
         body = jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat == "named":
+        # save the BF16 dense outputs (named in ops/layers.dense) + the
+        # flash-attention output: same recompute set as "dots" but the
+        # stacked per-layer residuals are bf16, not the f32 dot results —
+        # half the activation memory per layer. Measured speed-neutral at
+        # the 13B train shapes (130.3 vs dots 130.6 ms/layer marginal):
+        # a memory lever, not a throughput one.
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "dense_out", "attn_out"))
     elif remat == "dots+attn":
         # dots + the named attention output (a pallas-call result the
         # dots policy can't see): backward skips the flash-fwd re-run at

@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
@@ -71,7 +72,11 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    # named so the "named" remat policy can save the BF16 cast instead of
+    # the f32 dot output: jax's dots_*_saveable policies checkpoint the
+    # raw dot_general result, which at preferred_element_type=f32 stacks
+    # 2x the bytes per layer under the training scan (and OOMs 2x sooner)
+    return checkpoint_name(y.astype(x.dtype), "dense_out")
 
 
 def _dense_s4(params: dict, x: jax.Array) -> jax.Array:

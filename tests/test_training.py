@@ -40,3 +40,31 @@ def test_overfit_one_batch_loss_decreases(tmp_path):
     # periodic checkpoint fired at step 5
     import os
     assert any(d.startswith("step_") for d in os.listdir(tmp_path))
+
+
+def test_remat_policies_grads_match():
+    """Every remat policy is a pure memory/compute trade: gradients must be
+    bit-comparable to the un-rematted forward (True, dots, dots+attn, and
+    the bf16-saving named policy from ops/layers.dense checkpoint_name)."""
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.models import llama
+
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=3, num_attention_heads=4,
+                      vocab_size=97, extended_vocab_size=101,
+                      max_position_embeddings=32)
+    params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64), jnp.float32)
+    mask = jnp.ones((2, 16), jnp.int32)
+
+    def loss(p, remat):
+        out = llama.forward_hidden(p, cfg, emb, mask, remat=remat)
+        return 0.5 * jnp.sum(out.astype(jnp.float32) ** 2)
+
+    ref = jax.grad(lambda p: loss(p, False))(params)
+    for remat in (True, "dots", "dots+attn", "named"):
+        got = jax.grad(lambda p: loss(p, remat))(params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), ref, got)
+        mx = max(jax.tree_util.tree_leaves(diffs))
+        assert mx < 1e-4, (remat, mx)
