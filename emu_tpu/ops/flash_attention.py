@@ -621,6 +621,212 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 # ---------------------------------------------------------------------------
 
 
+def _bwd_blocks(sq_pad, skv_pad, d_pad, budget=15.5e6, n_tmp=4):
+    """(bq, bk) for the 2D-grid backward: largest 8-aligned divisors of the
+    padded lengths whose fp32 [bq, bk] temps + resident blocks fit the
+    scoped-VMEM budget."""
+    def divisors_desc(s_pad):
+        return [blk for blk in range(min(s_pad, 512), 7, -8)
+                if s_pad % blk == 0]
+
+    for bq in divisors_desc(sq_pad):
+        for bk in divisors_desc(skv_pad):
+            blocks = 7 * bq * d_pad * 4 + 4 * bk * d_pad * 2  # acc+io slack
+            if blocks + n_tmp * bq * _round_up(bk, 128) * 4 <= budget:
+                return bq, bk
+    return None
+
+
+def _dq_kernel_tiled(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
+               dq_ref, acc, *, scale, causal, diag_offset, bq, bk,
+               sq_real, skv_real):
+    """One (q block, kv block) tile of dQ; fp32 accumulation over kv blocks
+    in VMEM scratch. Causal tiles fully above the diagonal are skipped —
+    the backward does ~half the rectangle's work, like the streaming
+    forward's block-skip."""
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(jk == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+        keep = jnp.logical_and(col < skv_real, row < sq_real)
+        if causal:
+            keep = jnp.logical_and(keep, col <= row + diag_offset)
+        # valid rides as the WHOLE [nk, bk] plane (resident; a (1, 1, bk)
+        # block would need a Mosaic-illegal size-1 sublane) and block jk
+        # is sliced here
+        vrow = valid_ref[0, pl.ds(jk, 1)].reshape(1, bk)
+        keep = jnp.logical_and(keep, vrow > 0)
+        p = jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0)    # [bq, bk]
+
+        do = do_ref[0, 0].astype(jnp.float32)
+        o = o_ref[0, 0].astype(jnp.float32)
+        d_row = jnp.sum(do * o, axis=-1, keepdims=True)          # [bq, 1]
+        dp = jax.lax.dot_general(do_ref[0, 0], v_ref[0, 0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_row)
+        acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        # tile needed iff some col <= some row + diag: min col of the tile
+        # vs max row of the tile
+        pl.when(jk * bk <= iq * bq + (bq - 1) + diag_offset)(compute)
+    else:
+        compute()
+
+    @pl.when(jk == nk - 1)
+    def _():
+        dq_ref[0, 0] = acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel_tiled(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref, valid_ref,
+                dk_ref, dv_ref, acc_k, acc_v, *, scale, causal, diag_offset,
+                bq, bk, sq_real, skv_real):
+    """One (kv block, q block) tile of dK/dV; fp32 accumulation over q
+    blocks, causal skip of tiles with no row <= col + diag."""
+    jk = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _():
+        acc_k[...] = jnp.zeros_like(acc_k)
+        acc_v[...] = jnp.zeros_like(acc_v)
+
+    def compute():
+        k = k_ref[0, 0]
+        q = q_ref[0, 0]
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0) + jk * bk  # kv
+        col = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) + iq * bq  # q
+        keep = jnp.logical_and(row < skv_real, col < sq_real)
+        if causal:
+            keep = jnp.logical_and(keep, row <= col + diag_offset)
+        # valid rides as the WHOLE [nk, bk] plane and block jk is sliced
+        # here (a (1, 1, bk) block has a Mosaic-illegal size-1 sublane)
+        vblk = valid_ref[0, pl.ds(jk, 1)].reshape(bk, 1)
+        keep = jnp.logical_and(keep, vblk > 0)
+        pt = jnp.where(keep, jnp.exp(st - lse_ref[0, 0, :, 0][None, :]), 0.0)
+
+        do = do_ref[0, 0]                                        # [bq, D]
+        acc_v[...] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        dpt = jax.lax.dot_general(v_ref[0, 0], do, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        d_row = jnp.sum(do.astype(jnp.float32)
+                        * o_ref[0, 0].astype(jnp.float32), axis=-1)   # [bq]
+        dst = pt * (dpt - d_row[None, :])
+        acc_k[...] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        # tile needed iff some kv row <= some col + diag: min row of the
+        # tile vs max col of the tile
+        pl.when(jk * bk <= iq * bq + (bq - 1) + diag_offset)(compute)
+    else:
+        compute()
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0, 0] = acc_k[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = acc_v[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_tiled(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
+                     interpret):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    d_pad = _round_up(d, 128)
+    sq_pad = lse_bhs.shape[2]
+    skv_pad = _round_up(skv, 8)
+
+    qt = _pad_bhsd(q, sq_pad, d_pad)
+    kt = _pad_bhsd(k, skv_pad, d_pad)
+    vt = _pad_bhsd(v, skv_pad, d_pad)
+    ot = _pad_bhsd(out, sq_pad, d_pad)
+    dot = _pad_bhsd(do.astype(q.dtype), sq_pad, d_pad)
+    valid = _valid_padded(kv_valid, b, skv, skv_pad)
+    diag = skv - sq
+
+    plan = _bwd_blocks(sq_pad, skv_pad, d_pad)
+    assert plan is not None, "flash backward blocks do not fit VMEM"
+    bq, bk = plan
+    nq, nk = sq_pad // bq, skv_pad // bk
+
+    qblk = lambda b_, h_, i, j: (b_, h_, i, 0)
+    kblk = lambda b_, h_, i, j: (b_, h_, j, 0)
+    vrow = lambda b_, h_, i, j: (b_, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_tiled, scale=scale, causal=causal,
+                          diag_offset=diag, bq=bq, bk=bk, sq_real=sq,
+                          skv_real=skv),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d_pad), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d_pad), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, bk), vrow, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d_pad), qblk,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, dot, ot, lse_bhs, valid.reshape(b, nk, bk))
+
+    # dk/dv: kv blocks outer, q blocks inner (accumulated)
+    kblk2 = lambda b_, h_, j, i: (b_, h_, j, 0)
+    qblk2 = lambda b_, h_, j, i: (b_, h_, i, 0)
+    vrow2 = lambda b_, h_, j, i: (b_, 0, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_tiled, scale=scale, causal=causal,
+                          diag_offset=diag, bq=bq, bk=bk, sq_real=sq,
+                          skv_real=skv),
+        grid=(b, h, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk, d_pad), kblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d_pad), kblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d_pad), qblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), qblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, bk), vrow2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, bk, d_pad), kblk2,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, bk, d_pad), kblk2,
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, d_pad), jnp.float32),
+                        pltpu.VMEM((bk, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(kt, vt, qt, dot, ot, lse_bhs, valid.reshape(b, nk, bk))
+
+    unpad = lambda x, s: x.transpose(0, 2, 1, 3)[:, :s, :, :d]
+    return unpad(dq, sq), unpad(dk, skv), unpad(dv, skv)
+
+
 def _bwd_block(budget, whole_bytes, s_other_pad, s_pad, n_tmp):
     """Largest 8-aligned block of s_pad fitting the scoped-VMEM budget."""
     for blk in range(min(s_pad, 512), 7, -8):
@@ -632,7 +838,7 @@ def _bwd_block(budget, whole_bytes, s_other_pad, s_pad, n_tmp):
     return None
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
+def _dq_kernel_whole(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
                dq_ref, *, scale, causal, diag_offset, bq, sq_real, skv_real):
     skv = k_ref.shape[2]
     q = q_ref[0, 0]
@@ -660,7 +866,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref, valid_ref,
+def _dkv_kernel_whole(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref, valid_ref,
                 dk_ref, dv_ref, *, scale, causal, diag_offset, bk,
                 sq_real, skv_real):
     sq = q_ref.shape[2]
@@ -697,8 +903,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref, valid_ref,
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
-                    interpret):
+def _flash_bwd_whole(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
+                     interpret):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     d_pad = _round_up(d, 128)
@@ -721,7 +927,7 @@ def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
     qblk = lambda b_, h_, i: (b_, h_, i, 0)
     whole = lambda b_, h_, i: (b_, h_, 0, 0)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, causal=causal,
+        functools.partial(_dq_kernel_whole, scale=scale, causal=causal,
                           diag_offset=diag, bq=bq, sq_real=sq,
                           skv_real=skv),
         grid=(b, h, sq_pad // bq),
@@ -750,7 +956,7 @@ def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
     kblk = lambda b_, h_, j: (b_, h_, j, 0)
     whole_q = lambda b_, h_, j: (b_, h_, 0, 0)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, causal=causal,
+        functools.partial(_dkv_kernel_whole, scale=scale, causal=causal,
                           diag_offset=diag, bk=bk, sq_real=sq,
                           skv_real=skv),
         grid=(b, h, skv_pad // bk),
@@ -781,6 +987,25 @@ def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
 
     unpad = lambda x, s: x.transpose(0, 2, 1, 3)[:, :s, :, :d]
     return unpad(dq, sq), unpad(dk, skv), unpad(dv, skv)
+
+
+# Measured crossover on v5e-1 (B*S^2 held constant, H40 D128, causal):
+# whole-KV 6.03/11.25/22.15 ms at S 1024/2048/4096 vs tiled-skip
+# 6.91/11.49/20.27 — the diagonal block-skip only overtakes the bigger
+# whole-KV dots once there are enough tiles to skip (~44% at 8x8).
+_BWD_SKIP_MIN = 4096
+
+
+def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
+                    interpret):
+    """Route the backward: causal long sequences take the 2D-tiled kernels
+    (diagonal block-skip, fp32 scratch accumulation); everything else the
+    whole-KV single-shot kernels."""
+    if causal and min(q.shape[1], k.shape[1]) >= _BWD_SKIP_MIN:
+        return _flash_bwd_tiled(q, k, v, kv_valid, out, do, lse_bhs, scale,
+                                causal, interpret)
+    return _flash_bwd_whole(q, k, v, kv_valid, out, do, lse_bhs, scale,
+                            causal, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

@@ -80,6 +80,41 @@ def test_flash_backward_matches_xla_grads(causal, with_valid, d):
                                    err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("with_valid,sq,skv", [
+    (False, 130, 130), (True, 130, 130), (False, 96, 160),
+])
+def test_flash_backward_tiled_matches_whole(monkeypatch, with_valid, sq, skv):
+    """The 2D-tiled causal-skip backward (routes in at S >= 4096 on chip)
+    must produce the same gradients as the whole-KV backward; forced here
+    at small sizes via the routing threshold."""
+    from emu_tpu.ops import flash_attention as fa
+
+    b, h, d = 2, 2, 64
+    q = _rand(1, (b, sq, h, d))
+    k = _rand(2, (b, skv, h, d))
+    v = _rand(3, (b, skv, h, d))
+    cot = jnp.asarray(np.array(_rand(4, (b, sq, h, d))))
+    kv_valid = None
+    if with_valid:
+        kvn = np.ones((b, skv), np.int32)
+        kvn[1, -11:] = 0
+        kv_valid = jnp.asarray(kvn)
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, kv_valid=kv_valid, scale=d ** -0.5,
+                              causal=True, interpret=True)
+        return jnp.sum(out * cot)
+
+    g_whole = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(fa, "_BWD_SKIP_MIN", 8)
+    jax.clear_caches()     # the jitted wrapper must re-trace the new route
+    g_tiled = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_tiled, g_whole):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"d{name}")
+
+
 def test_flash_backward_cross_lengths():
     """Sq != Skv (causal offset) gradients."""
     b, h, d = 1, 2, 32

@@ -156,7 +156,11 @@ def marginal(opt: str, remat="dots"):
         params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
         ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, 32000)
         mask = jnp.ones_like(ids)
-        tx = optax.adafactor(1e-3)
+        if opt == "fused":
+            from emu_tpu.optim import fused_adafactor
+            tx = fused_adafactor(1e-3)
+        else:
+            tx = optax.adafactor(1e-3)
         opt_state = tx.init(params)
 
         def loss_fn(p, ids, mask, c=None):
@@ -186,7 +190,7 @@ def marginal(opt: str, remat="dots"):
                         p, ids, mask, prev)
                 else:
                     loss, grads = jax.value_and_grad(loss_fn)(p, ids, mask)
-                if opt == "adafactor":
+                if opt in ("adafactor", "fused"):
                     updates, s = tx.update(grads, s, p)
                     p = optax.apply_updates(p, updates)
                 elif opt == "nograd":
@@ -233,6 +237,9 @@ if __name__ == "__main__":
     elif "named" in sys.argv[1:]:
         print(f"chip: {bench.chip_health_tflops():.0f} TFLOP/s", flush=True)
         marginal("adafactor", remat="named")
+    elif "fused" in sys.argv[1:]:
+        print(f"chip: {bench.chip_health_tflops():.0f} TFLOP/s", flush=True)
+        marginal("fused")
     elif "pure" in sys.argv[1:]:
         # marginal of the BARE layer stack grad (no lm_head/CE/optimizer):
         # separates layer cost from step-context cost
