@@ -764,7 +764,8 @@ def bench_emu2_gen(layers=8, steps=50):
 
 
 def _llama_train_step_time(batch, seq, layers, k, remat="dots",
-                           hidden=5120, inter=13824, heads=40):
+                           hidden=5120, inter=13824, heads=40,
+                           optimizer="fused"):
     """Min-of-3 seconds for k chained train steps at the given depth."""
     import optax
     from emu_tpu.config import LlamaConfig
@@ -774,7 +775,11 @@ def _llama_train_step_time(batch, seq, layers, k, remat="dots",
                       vocab_size=32000, extended_vocab_size=32004,
                       max_position_embeddings=seq)
     params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    tx = optax.adafactor(1e-3)
+    if optimizer == "fused":
+        from emu_tpu.optim import fused_adafactor
+        tx = fused_adafactor(1e-3)
+    else:
+        tx = optax.adafactor(1e-3)
     opt_state = tx.init(params)
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 32000)
     mask = jnp.ones_like(ids)
