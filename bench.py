@@ -172,18 +172,22 @@ def bench_llama_decode(batch=8, layers=8, prompt=128, new=64,
     ~6% of a 40-layer one) must not be scaled with depth. All modes use
     fused qkv/gate_up projections (op launch count is a first-order
     decode cost on this backend)."""
-    dt = _llama_decode_time(batch, layers, prompt, new, quant, kv_heads,
-                            kv_quant, params, cfg_fn)
     if layers >= full_depth:
+        dt = _llama_decode_time(batch, layers, prompt, new, quant,
+                                kv_heads, kv_quant, params, cfg_fn)
         return batch * new / dt          # exact, no extrapolation
-    lo = max(layers // 2, 1)
-    dt_lo = _llama_decode_time(batch, lo, prompt, new, quant, kv_heads,
-                               kv_quant, None, cfg_fn)
-    per_layer = max(dt - dt_lo, 0.0) / (layers - lo)
-    fixed = max(dt - layers * per_layer, 0.0)
-    dt_full = fixed + full_depth * per_layer
-    print(f"decode depth fit: fixed {fixed / new * 1e3:.2f} ms/step, "
-          f"per-layer {per_layer / new * 1e3:.3f} ms/step", file=sys.stderr)
+
+    def t(d):
+        return _llama_decode_time(batch, d, prompt, new, quant, kv_heads,
+                                  kv_quant,
+                                  params if d == layers else None, cfg_fn)
+
+    # three depth points when the extrapolation is deep (VERDICT r3
+    # weak-4): the shallowest point is cheap and the residual is the
+    # lane's printed error bar
+    depths = ((layers, layers // 2, layers // 4) if layers >= 4
+              else (layers, max(layers // 2, 1)))
+    dt_full = _fit_depth(t, depths, full_depth, "decode")
     return batch * new / dt_full
 
 
@@ -330,6 +334,56 @@ def _budget_left() -> float:
     return _DEADLINE[0] - time.perf_counter()
 
 
+_FIT_NOISE_FRAC = 0.04  # two same-chip timings of one program vary ~2-3%
+
+
+def _fit_depth(time_fn, depths, full, label):
+    """Depth→seconds fit with a degenerate-slope guard (VERDICT r3 weak-2:
+    shared-chip noise once inverted a depth pair, the slope clamped to 0,
+    and 40 layers were extrapolated at zero marginal cost → a 1.6x-inflated
+    t2i number).
+
+    time_fn(depth) → min-of-N seconds; depths is descending (2-3 points).
+    If the hi/lo spread is within the noise floor, both endpoints are
+    re-measured once (keeping the min — same best-sample estimator as
+    _time_call); a still-degenerate pair prints a loud DEGENERATE FIT
+    marker and falls back to conservative naive full/hi scaling (which
+    over-charges the fixed cost, under-reporting throughput) instead of a
+    zero-slope extrapolation. With ≥3 points the least-squares residual is
+    printed as the fit's error bar (VERDICT r3 weak-4)."""
+    ts = {d: time_fn(d) for d in depths}
+    hi, lo = depths[0], depths[-1]
+    if ts[hi] - ts[lo] <= _FIT_NOISE_FRAC * ts[hi]:
+        print(f"{label} depth fit: spread "
+              f"{(ts[hi] - ts[lo]) / ts[hi] * 100:.1f}% is inside the "
+              "noise floor; re-measuring endpoints", file=sys.stderr)
+        for d in (hi, lo):
+            ts[d] = min(ts[d], time_fn(d))
+        if ts[hi] - ts[lo] <= _FIT_NOISE_FRAC * ts[hi]:
+            dt_naive = ts[hi] * full / hi
+            print(f"DEGENERATE FIT ({label}): depth {hi} = {ts[hi]:.3f}s "
+                  f"vs depth {lo} = {ts[lo]:.3f}s; reporting conservative "
+                  f"naive x{full}/{hi} scaling = {dt_naive:.3f}s",
+                  file=sys.stderr)
+            return dt_naive
+    n = len(depths)
+    sx = sum(depths)
+    sy = sum(ts[d] for d in depths)
+    sxx = sum(d * d for d in depths)
+    sxy = sum(d * ts[d] for d in depths)
+    per = max((n * sxy - sx * sy) / (n * sxx - sx * sx), 0.0)
+    fixed = max((sy - per * sx) / n, 0.0)
+    resid = max(abs(fixed + per * d - ts[d]) / ts[d] for d in depths)
+    ratio = full / hi
+    note = (" [deep fits measured <=5.3% optimistic at 8x — BASELINE.md "
+            "validation]" if ratio >= 5 else "")
+    print(f"{label} depth fit: fixed {fixed:.3f}s + {per * 1e3:.2f} "
+          f"ms/layer over depths {list(depths)}; max residual "
+          f"{resid * 100:.1f}%, extrapolation x{ratio:.1f}{note}",
+          file=sys.stderr)
+    return fixed + full * per
+
+
 def main():
     import os
     cache_dir = os.environ.get("EMU_TPU_COMPILE_CACHE",
@@ -372,15 +426,20 @@ def main():
         img_per_s = max(img_per_s, bench_vit_encode())
 
     # headline goes out BEFORE the secondaries: if the shared tunnel stalls
-    # mid-secondary, the driver still gets its one JSON line.
+    # mid-secondary, the driver still gets its one JSON line. It is
+    # RE-PRINTED as the final stdout line (VERDICT r3 weak-1: the driver
+    # parses a tail window of stdout, and r03's completed 25-lane run
+    # pushed the early print out of it — the round lost its headline).
+    headline = None
     if img_per_s == img_per_s:  # not the filtered-run NaN
-        print(json.dumps({
+        headline = json.dumps({
             "metric": "eva_vit_g_encode_throughput",
             "value": round(img_per_s, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(img_per_s / A100_BASELINE_VIT_G_IMG_PER_S,
                                  3),
-        }), flush=True)
+        })
+        print(headline, flush=True)
     # EMU_TPU_BENCH_ONLY=<substring>[,<substring>]: run just the matching
     # secondary lanes — for quick A/Bs on the shared chip without paying
     # for the whole suite. Unset = all lanes.
@@ -404,31 +463,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"secondary {name} failed: {e}", file=sys.stderr)
 
-    run("EVA-ViT-g encode W8A8 int8",
-        functools.partial(bench_vit_encode, int8=True), "img/s/chip")
-    run("llama-13B decode bf16 (two-point depth fit from 8/4 layers; "
-        "bf16 13B does not fit one chip)", bench_llama_decode,
-        "tok/s/chip")
-
-    # quantized decode at TRUE 40-layer depth — weights built on device,
-    # shared across lanes with the same layout
-    try:
-        p8 = (init_llama_quant_full(_llama_13b_cfg(40), "int8")
-              if _budget_left() > 0
-              and (want("llama-13B decode int8 full-depth b8")
-                   or want("llama-13B decode int8 full-depth b32 int8-KV"))
-              else None)
-        run("llama-13B decode int8 full-depth b8",
-            functools.partial(bench_llama_decode, layers=40, quant="int8",
-                              params=p8), "tok/s/chip")
-        run("llama-13B decode int8 full-depth b32 int8-KV",
-            functools.partial(bench_llama_decode, batch=32, layers=40,
-                              quant="int8", kv_quant=True, params=p8),
-            "tok/s/chip")
-        del p8
-    except Exception as e:  # noqa: BLE001
-        print(f"secondary int8 full-depth build failed: {e}",
-              file=sys.stderr)
     def with_s4(fn, mode="1"):
         # native-s4 decode (quant.materialize_s4): weights stay
         # nibble-packed in HBM; the generate program materializes s4
@@ -450,133 +484,178 @@ def main():
                     os.environ["EMU_TPU_DECODE_S4"] = prev
         return g
 
-    try:
-        p4 = (init_llama_quant_full(_llama_13b_cfg(40), "int4")
-              if _budget_left() > 0 and any(want(s) for s in (
-                  "llama-13B decode int4 full-depth b8 native-s4",
-                  "llama-13B decode int4 full-depth b32 int8-KV s4-mlp",
-                  "llama-13B decode int4 full-depth 2k-ctx int8-KV b4"))
-              else None)
-        run("llama-13B decode int4 full-depth b8 native-s4",
-            with_s4(functools.partial(bench_llama_decode, layers=40,
-                                      quant="int4", params=p4)),
-            "tok/s/chip")
-        # b32 s4 is MLP-ONLY (EMU_TPU_DECODE_S4=mlp): full s4 at b32
-        # crashes the remote compile helper, and before the lax.map
-        # unpack serialization (d5e9c39) even mlp-only overflowed HBM
-        # (XLA materialized 2x1.32 GB pre-stack gate_up nibble planes).
-        # Serialized, the mlp weights (~70% of bytes) stream as s4 and
-        # the lane beats the int8 841 tok/s (probe r3: 884).
-        run("llama-13B decode int4 full-depth b32 int8-KV s4-mlp",
-            with_s4(functools.partial(bench_llama_decode, batch=32,
-                                      layers=40, quant="int4",
-                                      kv_quant=True, params=p4),
-                    mode="mlp"),
-            "tok/s/chip")
-        # b4 2k: at b8 the int8 KV alone is 6.2 GB next to 6.7 GB weights
-        # and XLA's ~4 GB while-loop fragmentation blows the 16 GB HBM
-        run("llama-13B decode int4 full-depth 2k-ctx int8-KV b4",
-            functools.partial(bench_llama_decode, batch=4, layers=40,
-                              quant="int4", prompt=1984, kv_quant=True,
-                              params=p4),
-            "tok/s/chip")
-        del p4
-    except Exception as e:  # noqa: BLE001
-        print(f"secondary int4 full-depth build failed: {e}",
-              file=sys.stderr)
-    try:
-        pg = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8), "int8")
-              if _budget_left() > 0
-              and want("llama-13B decode int8 GQA-8kv full-depth b8")
-              else None)
-        run("llama-13B decode int8 GQA-8kv full-depth b8",
-            functools.partial(bench_llama_decode, layers=40, quant="int8",
-                              kv_heads=8, params=pg), "tok/s/chip")
-        del pg
-        pg4 = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8),
-                                     "int4")
-               if _budget_left() > 0
-               and want("llama-13B decode int4 GQA-8kv full-depth b8 "
-                        "native-s4") else None)
-        run("llama-13B decode int4 GQA-8kv full-depth b8 native-s4",
-            with_s4(functools.partial(bench_llama_decode, layers=40,
-                                      quant="int4", kv_heads=8,
-                                      params=pg4)), "tok/s/chip")
-        del pg4
-    except Exception as e:  # noqa: BLE001
-        print(f"secondary GQA full-depth build failed: {e}",
-              file=sys.stderr)
+    # --- pinned lanes (run every round, in this order) ---------------
+    # the reference's flagship interactive workload (VERDICT r3 missing-1)
+    run("Emu2-Chat e2e int8 448px->20tok (decoder depth fit 16/8 to 60)",
+        bench_emu2_chat, "replies/s/chip")
+    run("Emu2-Chat e2e int4 native-s4 448px->20tok (depth fit 16/8 to "
+        "60)", with_s4(functools.partial(bench_emu2_chat, quant="int4")),
+        "replies/s/chip")
+    run("llama-13B-equiv train step", bench_llama_train, "tok/s/chip")
+    run("train depth-fit validation (full-width 2/3/4 collinearity + "
+        "quarter-width 4/2-fit vs measured 8/16-layer)",
+        bench_train_fit_validation, "% error")
+    run("Emu1 t2i e2e 512^2 50-step PNDM (decoder depth fit 8/4/2 to "
+        "40)", bench_emu1_t2i, "images/min")
 
-    # Emu2-33B scale point (the reference's flagship model; no full-depth
-    # mode fits one 16 GB chip — see _emu2_33b_cfg — so both lanes are
-    # two-point depth fits at true width: 6656 hidden, 52 heads, D=128)
-    run("emu2-33B decode int8 b8 (two-point depth fit from 16/8 layers "
-        "to 60; full-depth int8 needs TP>=3)",
-        functools.partial(bench_llama_decode, layers=16, quant="int8",
-                          cfg_fn=_emu2_33b_cfg, full_depth=60),
-        "tok/s/chip")
-    run("emu2-33B decode int4 b8 native-s4 (two-point depth fit from "
-        "16/8 layers to 60; full-depth int4 needs TP>=2)",
-        with_s4(functools.partial(bench_llama_decode, layers=16,
-                                  quant="int4", cfg_fn=_emu2_33b_cfg,
-                                  full_depth=60)),
-        "tok/s/chip")
+    # --- rotating lanes -----------------------------------------------
+    # Order reverses every other round (parity of BENCH_r*.json count —
+    # the driver writes one per round) so budget exhaustion cannot starve
+    # the same tail lanes two rounds in a row (VERDICT r3 weak-5).
+    import glob
+    parity = len(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_r*.json"))) % 2
+    rev = parity == 1
 
-    for name, fn, unit in (
-            ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
-             "tok/s/chip"),
-            ("EVA-4B ViT encode 448px", bench_vit_4b_encode, "img/s/chip"),
-            ("EVA-4B ViT encode W8A8 int8",
-             functools.partial(bench_vit_4b_encode, int8=True),
-             "img/s/chip"),
-            ("Emu1 caption e2e int8 full-depth",
-             functools.partial(bench_emu1_caption, int8=True,
-                               full_depth=True),
-             "captions/s/chip"),
-            ("llama-13B-equiv train step", bench_llama_train,
-             "tok/s/chip"),
-            ("train depth-fit validation (full-width 2/3/4 collinearity "
-             "+ quarter-width 4/2-fit vs measured 8/16-layer)",
-             bench_train_fit_validation, "% error"),
-            ("Emu1 t2i e2e 512^2 50-step PNDM (two-point decoder depth "
-             "fit from 8/4 layers)", bench_emu1_t2i, "images/min"),
-            ("Emu2-Gen e2e 1024^2 50-step Euler (two-point decoder "
-             "depth fit from 8/4 layers to 60)", bench_emu2_gen,
-             "images/min"),
-            ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s"),
-            ("SDXL-class UNet CFG 128^2 block-cached interval=3 "
-             "(approximate; effective steps)",
-             functools.partial(bench_sdxl_unet_step, cache_interval=3),
-             "steps/s"),
-            ("Emu1 caption e2e bf16 (two-point depth fit from 8/4 "
-             "decoder layers)", bench_emu1_caption, "captions/s/chip"),
-            ("Emu1 caption e2e bf16 device-preprocess (raw 448^2 uint8 "
-             "in; fused resize+normalize on device; depth fit)",
-             functools.partial(bench_emu1_caption, device_pre=True),
-             "captions/s/chip"),
-            ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
-            ("SDXL-class UNet CFG 128^2 W8A8 transformer interior",
-             functools.partial(bench_sdxl_unet_step, int8=True),
-             "steps/s")):
-        run(name, fn, unit)
-
-    # least-informative tail: re-measured only when budget remains (the
-    # 4k program needs its own fresh int4 build)
-    if _budget_left() > 0 and want("llama-13B decode int4 full-depth "
-                                   "4k-ctx int8-KV b2"):
+    def quant8_block():
+        # quantized decode at TRUE 40-layer depth — weights built on
+        # device, shared across lanes with the same layout
         try:
-            p4 = init_llama_quant_full(_llama_13b_cfg(40), "int4")
-            # b2, not b4: the 4k b4 program reproducibly crashes the
-            # remote compile helper (HTTP 500 — compiler-side resource
-            # limit; b2 and 3k-b4 both compile and run fine)
-            run("llama-13B decode int4 full-depth 4k-ctx int8-KV b2",
-                functools.partial(bench_llama_decode, batch=2, layers=40,
-                                  quant="int4", prompt=4032,
-                                  kv_quant=True, params=p4),
+            p8 = (init_llama_quant_full(_llama_13b_cfg(40), "int8")
+                  if _budget_left() > 0
+                  and (want("llama-13B decode int8 full-depth b8")
+                       or want("llama-13B decode int8 full-depth b32 "
+                               "int8-KV"))
+                  else None)
+            run("llama-13B decode int8 full-depth b8",
+                functools.partial(bench_llama_decode, layers=40,
+                                  quant="int8", params=p8), "tok/s/chip")
+            run("llama-13B decode int8 full-depth b32 int8-KV",
+                functools.partial(bench_llama_decode, batch=32, layers=40,
+                                  quant="int8", kv_quant=True, params=p8),
                 "tok/s/chip")
-            del p4
         except Exception as e:  # noqa: BLE001
-            print(f"secondary 4k int4 build failed: {e}", file=sys.stderr)
+            print(f"secondary int8 full-depth build failed: {e}",
+                  file=sys.stderr)
+
+    def quant4_block():
+        try:
+            names = ("llama-13B decode int4 full-depth b8 native-s4",
+                     "llama-13B decode int4 full-depth b32 int8-KV s4-mlp",
+                     "llama-13B decode int4 full-depth 2k-ctx int8-KV b4",
+                     "llama-13B decode int4 full-depth 4k-ctx int8-KV b2")
+            p4 = (init_llama_quant_full(_llama_13b_cfg(40), "int4")
+                  if _budget_left() > 0 and any(want(s) for s in names)
+                  else None)
+            lanes = [
+                (names[0],
+                 with_s4(functools.partial(bench_llama_decode, layers=40,
+                                           quant="int4", params=p4))),
+                # b32 s4 is MLP-ONLY (EMU_TPU_DECODE_S4=mlp): full s4 at
+                # b32 crashes the remote compile helper, and before the
+                # lax.map unpack serialization (d5e9c39) even mlp-only
+                # overflowed HBM. Serialized, the mlp weights (~70% of
+                # bytes) stream as s4 and the lane beats int8's 841.
+                (names[1],
+                 with_s4(functools.partial(bench_llama_decode, batch=32,
+                                           layers=40, quant="int4",
+                                           kv_quant=True, params=p4),
+                         mode="mlp")),
+                # b4 2k: at b8 the int8 KV alone is 6.2 GB next to 6.7 GB
+                # weights and XLA's ~4 GB while-loop fragmentation blows
+                # the 16 GB HBM. b2 4k: the 4k b4 program reproducibly
+                # crashes the remote compile helper (HBM exhaustion —
+                # tools/probe_4k_b4.py; b2 and 3k-b4 compile and run)
+                (names[2],
+                 functools.partial(bench_llama_decode, batch=4, layers=40,
+                                   quant="int4", prompt=1984,
+                                   kv_quant=True, params=p4)),
+                (names[3],
+                 functools.partial(bench_llama_decode, batch=2, layers=40,
+                                   quant="int4", prompt=4032,
+                                   kv_quant=True, params=p4)),
+            ]
+            for name, fn in (reversed(lanes) if rev else lanes):
+                run(name, fn, "tok/s/chip")
+        except Exception as e:  # noqa: BLE001
+            print(f"secondary int4 full-depth build failed: {e}",
+                  file=sys.stderr)
+
+    def gqa_block():
+        try:
+            pg = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8),
+                                        "int8")
+                  if _budget_left() > 0
+                  and want("llama-13B decode int8 GQA-8kv full-depth b8")
+                  else None)
+            run("llama-13B decode int8 GQA-8kv full-depth b8",
+                functools.partial(bench_llama_decode, layers=40,
+                                  quant="int8", kv_heads=8, params=pg),
+                "tok/s/chip")
+            del pg
+            pg4 = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8),
+                                         "int4")
+                   if _budget_left() > 0
+                   and want("llama-13B decode int4 GQA-8kv full-depth b8 "
+                            "native-s4") else None)
+            run("llama-13B decode int4 GQA-8kv full-depth b8 native-s4",
+                with_s4(functools.partial(bench_llama_decode, layers=40,
+                                          quant="int4", kv_heads=8,
+                                          params=pg4)), "tok/s/chip")
+        except Exception as e:  # noqa: BLE001
+            print(f"secondary GQA full-depth build failed: {e}",
+                  file=sys.stderr)
+
+    simple = [
+        ("EVA-ViT-g encode W8A8 int8",
+         functools.partial(bench_vit_encode, int8=True), "img/s/chip"),
+        ("llama-13B decode bf16 (depth fit from 8/4/2 layers; bf16 13B "
+         "does not fit one chip)", bench_llama_decode, "tok/s/chip"),
+        # Emu2-33B scale point (the reference's flagship model; no
+        # full-depth mode fits one 16 GB chip — see _emu2_33b_cfg — so
+        # both lanes are depth fits at true width: 6656 hidden, 52
+        # heads, D=128)
+        ("emu2-33B decode int8 b8 (depth fit from 16/8/4 layers to 60; "
+         "full-depth int8 needs TP>=3)",
+         functools.partial(bench_llama_decode, layers=16, quant="int8",
+                           cfg_fn=_emu2_33b_cfg, full_depth=60),
+         "tok/s/chip"),
+        ("emu2-33B decode int4 b8 native-s4 (depth fit from 16/8/4 "
+         "layers to 60; full-depth int4 needs TP>=2)",
+         with_s4(functools.partial(bench_llama_decode, layers=16,
+                                   quant="int4", cfg_fn=_emu2_33b_cfg,
+                                   full_depth=60)),
+         "tok/s/chip"),
+        ("llama-13B-equiv prefill 2048tok", bench_llama_prefill,
+         "tok/s/chip"),
+        ("EVA-4B ViT encode 448px", bench_vit_4b_encode, "img/s/chip"),
+        ("EVA-4B ViT encode W8A8 int8",
+         functools.partial(bench_vit_4b_encode, int8=True), "img/s/chip"),
+        ("Emu1 caption e2e int8 full-depth",
+         functools.partial(bench_emu1_caption, int8=True, full_depth=True),
+         "captions/s/chip"),
+        ("Emu2-Gen e2e 1024^2 50-step Euler (decoder depth fit 8/4/2 to "
+         "60)", bench_emu2_gen, "images/min"),
+        ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s"),
+        ("SDXL-class UNet CFG 128^2 block-cached interval=3 "
+         "(approximate; effective steps)",
+         functools.partial(bench_sdxl_unet_step, cache_interval=3),
+         "steps/s"),
+        ("Emu1 caption e2e bf16 (depth fit from 8/4/2 decoder layers)",
+         bench_emu1_caption, "captions/s/chip"),
+        ("Emu1 caption e2e bf16 device-preprocess (raw 448^2 uint8 in; "
+         "fused resize+normalize on device; depth fit)",
+         functools.partial(bench_emu1_caption, device_pre=True),
+         "captions/s/chip"),
+        ("SD1.5-class UNet CFG 64^2", bench_unet_step, "steps/s"),
+        ("SDXL-class UNet CFG 128^2 W8A8 transformer interior",
+         functools.partial(bench_sdxl_unet_step, int8=True), "steps/s"),
+    ]
+    units = ([lambda n=n, f=f, u=u: run(n, f, u) for n, f, u in simple[:2]]
+             + [quant8_block, quant4_block, gqa_block]
+             + [lambda n=n, f=f, u=u: run(n, f, u)
+                for n, f, u in simple[2:]])
+    if rev:
+        units.reverse()
+    print(f"lane rotation: parity {parity} "
+          f"({'reversed' if rev else 'static'} order)", file=sys.stderr)
+    for unit in units:
+        unit()
+
+    # the capture-proof re-print (see the first print above)
+    if headline is not None:
+        print(headline, flush=True)
 
 
 
@@ -599,14 +678,11 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
         assert int8, "full-depth caption requires the int8 decoder"
         return batch / _emu1_caption_time(batch, 40, new, int8, True,
                                           device_pre)
-    dt = _emu1_caption_time(batch, layers, new, int8, False, device_pre)
-    lo = max(layers // 2, 1)
-    dt_lo = _emu1_caption_time(batch, lo, new, int8, False, device_pre)
-    per_layer = max(dt - dt_lo, 0.0) / (layers - lo)
-    fixed = max(dt - layers * per_layer, 0.0)
-    print(f"caption depth fit: fixed {fixed * 1e3:.1f} ms/batch, "
-          f"per-layer {per_layer * 1e3:.2f} ms/batch", file=sys.stderr)
-    return batch / (fixed + 40 * per_layer)
+    dt_full = _fit_depth(
+        lambda d: _emu1_caption_time(batch, d, new, int8, False,
+                                     device_pre),
+        (layers, layers // 2, layers // 4), 40, "caption")
+    return batch / dt_full
 
 
 def _emu1_caption_time(batch, layers, new, int8, full_depth,
@@ -670,6 +746,67 @@ def _emu1_caption_time(batch, layers, new, int8, full_depth,
     return _time_call(e2e, params, images)
 
 
+def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
+                    n_query=256):
+    """Emu2-Chat end-to-end — the reference's flagship interactive
+    workload (Emu2/emu/chat.py:41-117): 448² image → EVA-4B encode (W8A8;
+    the encoder is MXU-bound) → avg-pool to the Chat n_query=256 tokens
+    (ref chat.py:215-232) → project_up → scatter into the chat prompt →
+    33B-width prefill + `new`-token greedy decode (int8 or int4
+    native-s4 weight-only decoder — HBM-bound).
+
+    No 33B mode fits one 16 GB chip at full depth (_emu2_33b_cfg), so the
+    decoder depth-fits 16/8 → 60 like the emu2-33B decode lanes; the 4B
+    encode + projections + prefill-fixed cost land in the fit's fixed
+    term. The W8A8 encoder (4 GB) + int8 16-layer decoder (8.6 GB) share
+    the chip; the encoder is built ONCE and reused across depth points."""
+    from emu_tpu.config import Emu2Config, VisionConfig
+    from emu_tpu.generation import GenerationConfig
+    from emu_tpu.models import emu2, vit
+    from emu_tpu.ops import layers as L
+    from emu_tpu.ops.quant import VIT_PATTERNS, quantize_tree
+
+    vcfg = VisionConfig.emu2_4b()
+    visual = vit.init(jax.random.PRNGKey(0), vcfg, dtype=jnp.bfloat16)
+    visual = jax.jit(lambda p: quantize_tree(
+        p, VIT_PATTERNS, act_quant=True, layer_chunked=True),
+        donate_argnums=0)(visual)
+    ku, kd = jax.random.split(jax.random.PRNGKey(1))
+    d_llm = _emu2_33b_cfg(1).hidden_size
+    proj_up = L.dense_init(ku, vcfg.width, d_llm, use_bias=False,
+                           dtype=jnp.bfloat16)
+    proj_down = L.dense_init(kd, d_llm, vcfg.width, use_bias=False,
+                             dtype=jnp.bfloat16)
+    images = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (batch, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
+    img_tok = 32002  # any reserved-token id; only placeholder equality matters
+
+    def t(depth):
+        cfg = Emu2Config(vision=vcfg, llama=_emu2_33b_cfg(depth),
+                         n_query=n_query, instruct=True)
+        params = {"visual": visual, "project_up": proj_up,
+                  "project_down": proj_down,
+                  "decoder": init_llama_quant_full(cfg.llama, quant)}
+        # "[USER]: [IMG]<image>*64[/IMG] question [ASSISTANT]:" shape
+        prompt = ([7] * 4 + [32001] + [img_tok] * cfg.n_query + [32003]
+                  + [7] * 12)
+        ids = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (batch, 1))
+        mask = jnp.ones_like(ids)
+        gcfg = GenerationConfig(max_new_tokens=new, min_length=new,
+                                eos_token_id=-1, pad_token_id=32000)
+
+        @jax.jit
+        def e2e(p, im):
+            vis = emu2.encode_image_lm(p, cfg, im).reshape(-1, d_llm)
+            return emu2.generate(p, cfg, ids, mask, gcfg, img_tok, vis)
+
+        return _time_call(e2e, params, images)
+
+    dt_full = _fit_depth(t, (layers, layers // 2), 60, "emu2-chat")
+    return batch / dt_full
+
+
 def _pipe_time(fn, iters=2):
     """Min-of-N for a pipeline call that already syncs to host (PIL out)."""
     fn()                                    # compile + warm
@@ -712,14 +849,9 @@ def bench_emu1_t2i(layers=8, steps=50):
     SURVEY §3.2 call stack as one number. The decoder part depth-fits to
     40 layers (bf16 13B does not fit one chip); the 50-step UNet + VAE
     + host time land in the fit's fixed term (depth-independent)."""
-    lo = max(layers // 2, 1)
-    dt_hi = _emu1_t2i_time(layers, steps)
-    dt_lo = _emu1_t2i_time(lo, steps)
-    per_layer = max(dt_hi - dt_lo, 0.0) / (layers - lo)
-    fixed = max(dt_hi - layers * per_layer, 0.0)
-    print(f"t2i depth fit: fixed {fixed:.2f} s/img, per-layer "
-          f"{per_layer * 1e3:.1f} ms/img", file=sys.stderr)
-    return 60.0 / (fixed + 40 * per_layer)
+    dt_full = _fit_depth(lambda d: _emu1_t2i_time(d, steps),
+                         (layers, layers // 2, layers // 4), 40, "t2i")
+    return 60.0 / dt_full
 
 
 def _emu2_gen_time(layers, steps):
@@ -753,14 +885,10 @@ def bench_emu2_gen(layers=8, steps=50):
     """Emu2-Gen end-to-end throughput (images/min): SURVEY §3.4 hot
     loops combined. Decoder depth-fits to 60 layers (33B never fits one
     chip — _emu2_33b_cfg); UNet/VAE/host in the fixed term."""
-    lo = max(layers // 2, 1)
-    dt_hi = _emu2_gen_time(layers, steps)
-    dt_lo = _emu2_gen_time(lo, steps)
-    per_layer = max(dt_hi - dt_lo, 0.0) / (layers - lo)
-    fixed = max(dt_hi - layers * per_layer, 0.0)
-    print(f"emu2-gen depth fit: fixed {fixed:.2f} s/img, per-layer "
-          f"{per_layer * 1e3:.1f} ms/img", file=sys.stderr)
-    return 60.0 / (fixed + 60 * per_layer)
+    dt_full = _fit_depth(lambda d: _emu2_gen_time(d, steps),
+                         (layers, layers // 2, layers // 4), 60,
+                         "emu2-gen")
+    return 60.0 / dt_full
 
 
 def _llama_train_step_time(batch, seq, layers, k, remat="dots",
@@ -824,16 +952,11 @@ def bench_llama_train(batch=8, seq=1024, layers=4, k=3, remat="dots"):
     ~11% of a 4-layer step's FLOPs but <2% of a 40-layer one. Falls back
     to the naive scale if the deeper point OOMs."""
     # the `layers`-deep step already rides the HBM edge (5 layers OOMs at
-    # these dims), so the second depth point goes DOWN: layers/2.
-    lo = max(layers // 2, 1)
-    dt_hi = _llama_train_step_time(batch, seq, layers, k, remat)
-    dt_lo = _llama_train_step_time(batch, seq, lo, k, remat)
-    per_layer = max(dt_hi - dt_lo, 0.0) / (layers - lo)
-    fixed = max(dt_hi - layers * per_layer, 0.0)
-    dt_full = fixed + 40 * per_layer
-    print(f"train depth fit ({remat}): fixed {fixed / k * 1e3:.1f} "
-          f"ms/step, per-layer {per_layer / k * 1e3:.2f} ms/step",
-          file=sys.stderr)
+    # these dims), so the extra depth points go DOWN: layers/2, layers/4.
+    dt_full = _fit_depth(
+        lambda d: _llama_train_step_time(batch, seq, d, k, remat),
+        (layers, layers // 2, max(layers // 4, 1)), 40,
+        f"train({remat})")
     return batch * seq * k / dt_full
 
 
