@@ -133,6 +133,6 @@ def generate_image_embeds(params: dict, cfg: Emu2Config,
 sharding_rules = (
     [("visual/" + p, s) for p, s in vit.sharding_rules]
     + [("decoder/" + p, s) for p, s in llama.sharding_rules]
-    + [(r"project_up/kernel", P(None, "model")),
-       (r"project_down/kernel", P("model", None))]
+    + [(r"project_up/kernel$", P(None, "model")),
+       (r"project_down/kernel$", P("model", None))]
 )

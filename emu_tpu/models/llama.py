@@ -483,9 +483,10 @@ def _deferred_decode(params: dict, cfg: LlamaConfig, cache: dict,
     # can fold into their consumers. Measured NEUTRAL on v5e-1 (int8 b8
     # full-depth: 358.6 vs 357.1 tok/s at unroll=40) — XLA's
     # dynamic-slice-fusion already hides the scan slicing; kept as an
-    # opt-in experiment knob. Default 1 (plain scan).
-    import os
-    unroll = int(os.environ.get("EMU_TPU_DECODE_UNROLL", "1"))
+    # opt-in experiment knob. Default 1 (plain scan); snapshotted at
+    # import (ops/flags.py).
+    from emu_tpu.ops.flags import flag
+    unroll = int(flag("EMU_TPU_DECODE_UNROLL") or "1")
     x, new_rows = jax.lax.scan(
         body, token_embeds,
         (params["layers"], jnp.arange(cfg.num_hidden_layers)),
@@ -603,12 +604,41 @@ def reorder_cache(cache: dict, beam_indices: jax.Array) -> dict:
 # ---------------------------------------------------------------------------
 
 sharding_rules = [
-    (r"layers/self_attn/(q|k|v|qkv)_proj/kernel", P(None, None, "model")),
-    (r"layers/self_attn/o_proj/kernel", P(None, "model", None)),
-    (r"layers/mlp/(gate|up|gate_up)/kernel", P(None, None, "model")),
-    (r"layers/mlp/down/kernel", P(None, "model", None)),
+    (r"layers/self_attn/(q|k|v|qkv)_proj/kernel$", P(None, None, "model")),
+    (r"layers/self_attn/o_proj/kernel$", P(None, "model", None)),
+    (r"layers/mlp/(gate|up|gate_up)/kernel$", P(None, None, "model")),
+    (r"layers/mlp/down/kernel$", P(None, "model", None)),
     (r"embed_tokens", P("model", None)),
-    (r"lm_head/kernel", P(None, "model")),
+    (r"lm_head/kernel$", P(None, "model")),
+    # Quantized-leaf layouts (ops/quant.py). Rules are anchored ($) so a
+    # float-kernel spec can never substring-match a quantized leaf whose
+    # extra packing dims would misalign the axes (ADVICE r3). int8
+    # kernels keep the float kernel's rank, so the same axis layout
+    # applies; per-out-channel scales [L, out] shard with the out dim
+    # iff the kernel's out dim is model-sharded. int4 packed kernels
+    # [L, in/2, out] + scale4 [L, G, out] and materialized s4 buffers
+    # [L, G/2, 2, gs, out] shard the out dim on the out-sharded planes;
+    # the contraction-sharded planes (o_proj, down) stay REPLICATED in
+    # int4 form — a "model" split of the packed in/2 dim would cut
+    # through the nibble fold and the group reshape for no layout win.
+    (r"layers/self_attn/(q|k|v|qkv)_proj/kernel_(q8|w8a8|q4)$",
+     P(None, None, "model")),
+    (r"layers/self_attn/(q|k|v|qkv)_proj/kernel_s4$",
+     P(None, None, None, None, "model")),
+    (r"layers/self_attn/(q|k|v|qkv)_proj/scale$", P(None, "model")),
+    (r"layers/self_attn/(q|k|v|qkv)_proj/scale4$", P(None, None, "model")),
+    (r"layers/self_attn/o_proj/kernel_(q8|w8a8)$", P(None, "model", None)),
+    (r"layers/mlp/(gate|up|gate_up)/kernel_(q8|w8a8|q4)$",
+     P(None, None, "model")),
+    (r"layers/mlp/(gate|up|gate_up)/kernel_s4$",
+     P(None, None, None, None, "model")),
+    (r"layers/mlp/(gate|up|gate_up)/scale$", P(None, "model")),
+    (r"layers/mlp/(gate|up|gate_up)/scale4$", P(None, None, "model")),
+    (r"layers/mlp/down/kernel_(q8|w8a8)$", P(None, "model", None)),
+    (r"lm_head/kernel_(q8|w8a8|q4)$", P(None, "model")),
+    (r"lm_head/kernel_s4$", P(None, None, None, "model")),
+    (r"lm_head/scale$", P("model")),
+    (r"lm_head/scale4$", P(None, "model")),
 ]
 
 cache_sharding_rules = [

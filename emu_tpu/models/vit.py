@@ -146,9 +146,9 @@ def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
     ~0.45 ms/layer faster at ViT-g batch 32 on v5e-1). q/v biases ride
     inside the kernel. Returns None when ineligible (CPU, fp32, sub-LN,
     quantized, no VMEM plan); caller falls back. EMU_TPU_FUSED_ATTN=0
-    disables."""
-    import os
-    if os.environ.get("EMU_TPU_FUSED_ATTN") == "0":
+    disables (snapshotted at import — ops/flags.py)."""
+    from emu_tpu.ops.flags import flag
+    if flag("EMU_TPU_FUSED_ATTN") == "0":
         return None
     if jax.default_backend() not in ("tpu", "axon"):
         return None
@@ -330,11 +330,19 @@ def forward_head(params: dict, cfg: VisionConfig, features: jax.Array
 
 # Stacked block tensors carry a leading layer dim → shard dim 1/2.
 sharding_rules = [
-    (r"blocks/attn/qkv/kernel", P(None, None, "model")),
+    (r"blocks/attn/qkv/kernel$", P(None, None, "model")),
     (r"blocks/attn/(q|v)_bias", P(None, "model")),
-    (r"blocks/attn/proj/kernel", P(None, "model", None)),
-    (r"blocks/mlp/(fc1|w1|w2)/kernel", P(None, None, "model")),
+    (r"blocks/attn/proj/kernel$", P(None, "model", None)),
+    (r"blocks/mlp/(fc1|w1|w2)/kernel$", P(None, None, "model")),
     (r"blocks/mlp/(fc1|w1|w2)/bias", P(None, "model")),
-    (r"blocks/mlp/(fc2|w3)/kernel", P(None, "model", None)),
+    (r"blocks/mlp/(fc2|w3)/kernel$", P(None, "model", None)),
     (r"patch_embed/kernel", P(None, "model")),
+    # W8A8 tower (quantize_model_params): int8 kernels keep the float
+    # rank; per-out-channel scales shard where the kernel's out dim does
+    (r"blocks/attn/qkv/kernel_w8a8$", P(None, None, "model")),
+    (r"blocks/attn/qkv/scale$", P(None, "model")),
+    (r"blocks/attn/proj/kernel_w8a8$", P(None, "model", None)),
+    (r"blocks/mlp/(fc1|w1|w2)/kernel_w8a8$", P(None, None, "model")),
+    (r"blocks/mlp/(fc1|w1|w2)/scale$", P(None, "model")),
+    (r"blocks/mlp/(fc2|w3)/kernel_w8a8$", P(None, "model", None)),
 ]

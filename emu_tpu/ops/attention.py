@@ -19,7 +19,6 @@ Masking vocabulary (shared by both backends):
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -189,11 +188,12 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     sq = q.shape[1]
+    from emu_tpu.ops.flags import flag
     if ((sq == 1 or (kn is not None and sq <= 32))
             and mask is None and not causal
             and kv_valid is not None
             and jax.default_backend() in ("tpu", "axon")
-            and os.environ.get("EMU_TPU_DECODE_KERNEL", "1") != "0"):
+            and flag("EMU_TPU_DECODE_KERNEL") != "0"):
         from emu_tpu.ops.decode_attention import (decode_attention,
                                                   decode_attention_fits)
         if decode_attention_fits(q.shape[0], q.shape[2], k.shape[-3],
@@ -224,9 +224,10 @@ def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
     # prefill; below 512 tokens its 512 tiny programs lose to MXU
     # weight-load latency, and the per-batch all-heads kernel (batched_mha,
     # 785 vs 1167 us/layer at ViT-g 257 tokens) takes over for the
-    # unmasked self-attention case. EMU_TPU_FLASH=1/0 forces flash/xla.
-    import os
-    force = os.environ.get("EMU_TPU_FLASH")
+    # unmasked self-attention case. EMU_TPU_FLASH=1/0 forces flash/xla
+    # (snapshotted at import — ops/flags.py).
+    from emu_tpu.ops.flags import flag
+    force = flag("EMU_TPU_FLASH")
     if force == "0":
         return "xla"
     if jax.default_backend() not in ("tpu", "axon"):

@@ -1,0 +1,51 @@
+"""Kernel-routing kill switches, read ONCE at import time.
+
+These flags force/disable pallas kernel paths for A/Bs and debugging
+(EMU_TPU_FLASH=0/1, EMU_TPU_DECODE_KERNEL=0, EMU_TPU_FUSED_ATTN=0,
+EMU_TPU_FUSED_MLP=0, EMU_TPU_Q4_KERNEL=0, EMU_TPU_DECODE_UNROLL=n).
+
+They are deliberately NOT read inside traced functions: an os.environ
+read under jit is a trace-time constant, so flipping the variable after
+a program has been traced would silently keep running the stale program
+(VERDICT r3 weak-6 / ADVICE r2 finding 1). Instead the value is
+snapshotted here at import; to flip one mid-process call `set_flag`,
+which also clears the jit caches so every downstream program re-traces
+under the new routing. (EMU_TPU_DECODE_S4 is different: it is read at
+the `llama_generate` jit boundary and passed as a static argument —
+generation/engine.py — because the bench legitimately flips it per-lane.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+_FLAGS: dict[str, Optional[str]] = {
+    name: os.environ.get(name)
+    for name in ("EMU_TPU_FLASH", "EMU_TPU_DECODE_KERNEL",
+                 "EMU_TPU_FUSED_ATTN", "EMU_TPU_FUSED_MLP",
+                 "EMU_TPU_Q4_KERNEL", "EMU_TPU_DECODE_UNROLL")
+}
+
+
+def flag(name: str) -> Optional[str]:
+    """The import-time value of a routing flag (None = unset)."""
+    return _FLAGS[name]
+
+
+def set_flag(name: str, value: Optional[str]) -> None:
+    """Flip a routing flag at runtime and invalidate every traced program.
+
+    jax.clear_caches() drops the jit/pjit executable caches, so the next
+    call of any affected function re-traces under the new routing instead
+    of silently reusing a program traced under the old one.
+    """
+    if name not in _FLAGS:
+        raise KeyError(f"unknown routing flag {name!r}; "
+                       f"known: {sorted(_FLAGS)}")
+    if _FLAGS[name] == value:
+        return
+    _FLAGS[name] = value
+    import jax
+
+    jax.clear_caches()

@@ -766,7 +766,13 @@ def _flash_bwd_tiled(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
     diag = skv - sq
 
     plan = _bwd_blocks(sq_pad, skv_pad, d_pad)
-    assert plan is not None, "flash backward blocks do not fit VMEM"
+    if plan is None:
+        # unreachable with today's 8-aligned pads (bq=bk=8 always fits),
+        # but degrade to the whole-KV backward rather than crash training
+        # if a future budget/shape change shrinks the block space (ADVICE
+        # r3)
+        return _flash_bwd_whole(q, k, v, kv_valid, out, do, lse_bhs,
+                                scale, causal, interpret)
     bq, bk = plan
     nq, nk = sq_pad // bq, skv_pad // bk
 
@@ -993,7 +999,14 @@ def _flash_bwd_whole(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,
 # whole-KV 6.03/11.25/22.15 ms at S 1024/2048/4096 vs tiled-skip
 # 6.91/11.49/20.27 — the diagonal block-skip only overtakes the bigger
 # whole-KV dots once there are enough tiles to skip (~44% at 8x8).
+# The differentiable tier only sees Skv <= _STREAMING_THRESHOLD (longer
+# sequences route to the forward-only streaming kernel), so the tiled
+# backward is reachable only for Skv in [_BWD_SKIP_MIN,
+# _STREAMING_THRESHOLD] — exactly the boundary today. The assert keeps a
+# future threshold change from silently dead-coding it (ADVICE r3).
 _BWD_SKIP_MIN = 4096
+assert _BWD_SKIP_MIN <= _STREAMING_THRESHOLD, (
+    "tiled flash backward unreachable: crossover above streaming tier")
 
 
 def _flash_bwd_impl(q, k, v, kv_valid, out, do, lse_bhs, scale, causal,

@@ -178,10 +178,10 @@ def _pick_bm(m: int, bm0: int) -> int:
 def _fused_mlp_bf(params, x, names):
     """(bm, bf) block sizes for the fused pallas MLP, or None to stay
     unfused. Eligibility: TPU only, bf16, unquantized, no inner LN, enough
-    rows to fill the row-block pipeline.
-    EMU_TPU_FUSED_MLP=0 forces the unfused path."""
-    import os
-    if os.environ.get("EMU_TPU_FUSED_MLP") == "0":
+    rows to fill the row-block pipeline. EMU_TPU_FUSED_MLP=0 forces the
+    unfused path (snapshotted at import — ops/flags.py)."""
+    from emu_tpu.ops.flags import flag
+    if flag("EMU_TPU_FUSED_MLP") == "0":
         return None
     if jax.default_backend() not in ("tpu", "axon"):
         return None
@@ -213,8 +213,8 @@ def _fused_mlp_bf(params, x, names):
 def _fused_mlp_w8a8_bf(params, x, names):
     """(bm, bf) for the int8 fused MLP kernel, or None. GELU family only;
     int8 weight blocks are half-size, so hidden blocks run larger."""
-    import os
-    if os.environ.get("EMU_TPU_FUSED_MLP") == "0":
+    from emu_tpu.ops.flags import flag
+    if flag("EMU_TPU_FUSED_MLP") == "0":
         return None
     if jax.default_backend() not in ("tpu", "axon"):
         return None

@@ -161,8 +161,8 @@ def q4_plan(params: dict, x: jax.Array):
     kernel, tile-aligned group size, and a small-M (decode-shaped) call —
     large-M prefill reads weights once anyway, so the bf16 dequant matmul
     (full-MXU) wins there."""
-    import os
-    if os.environ.get("EMU_TPU_Q4_KERNEL") == "0":
+    from emu_tpu.ops.flags import flag
+    if flag("EMU_TPU_Q4_KERNEL") == "0":
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -382,8 +382,8 @@ def fused_swiglu_q4(x: jax.Array, rms_scale: jax.Array,
 def swiglu_q4_plan(norm_scale, mlp_params: dict, x: jax.Array):
     """Whether the fused W4A8 swiglu kernel applies: TPU, fused gate_up
     int4 layout, decode-shaped batch, tile-aligned groups."""
-    import os
-    if os.environ.get("EMU_TPU_Q4_KERNEL") == "0":
+    from emu_tpu.ops.flags import flag
+    if flag("EMU_TPU_Q4_KERNEL") == "0":
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

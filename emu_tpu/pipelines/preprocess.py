@@ -48,6 +48,12 @@ def to_uint8_rgb(image) -> np.ndarray:
         arr = np.clip(arr, 0, 255).astype(np.uint8)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
+    if arr.shape[-1] == 4:
+        # RGBA ndarray: route through the same PIL convert("RGB") the
+        # host path (preprocess_image) uses, so both drop alpha
+        # identically instead of this path shipping 4 channels into the
+        # [B,H,W,3] device contract — ADVICE r3
+        return np.asarray(Image.fromarray(arr).convert("RGB"), np.uint8)
     return arr
 
 

@@ -51,6 +51,55 @@ def test_llama_tp_generate_matches_replicated():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_llama_tp_generate_quantized_matches_replicated():
+    """quantize= + mesh= compose (ADVICE r3): anchored rules give
+    quantized leaves explicit layouts instead of a float-kernel spec
+    landing on packing dims; sharded quantized decode must be
+    token-exact vs the unsharded quantized run."""
+    from emu_tpu.generation import GenerationConfig, llama_generate
+    from emu_tpu.ops.quant import quantize_tree
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      vocab_size=64, extended_vocab_size=64)
+    base = llama.fuse_projections(llama.init(jax.random.PRNGKey(1), cfg))
+    ids = np.random.default_rng(1).integers(3, 64, (2, 5)).astype(np.int32)
+    mask = np.ones_like(ids)
+    gcfg = GenerationConfig(max_new_tokens=6, pad_token_id=0)
+    mesh = make_mesh((1, 8))
+    for bits in (8, 4):
+        params = quantize_tree(base, bits=bits)
+        embeds = llama.embed(params, jnp.asarray(ids))
+        ref = np.asarray(llama_generate(params, cfg, embeds,
+                                        jnp.asarray(mask), gcfg))
+        sharded = shard_params(params, mesh, llama.sharding_rules)
+        out = np.asarray(llama_generate(
+            sharded, cfg, llama.embed(sharded, jnp.asarray(ids)),
+            jnp.asarray(mask), gcfg))
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_quantized_sharding_rules_place_quantized_leaves():
+    """The out-sharded planes' quantized kernels and scales actually get
+    a 'model' axis (not the default replicate) on an 8-way TP mesh."""
+    from emu_tpu.ops.quant import quantize_tree
+    from emu_tpu.parallel.mesh import sharding_tree, tree_paths_and_leaves
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      vocab_size=64, extended_vocab_size=64)
+    params = quantize_tree(
+        llama.fuse_projections(llama.init(jax.random.PRNGKey(0), cfg)),
+        bits=4)
+    mesh = make_mesh((1, 8))
+    tree = sharding_tree(params, mesh, llama.sharding_rules)
+    specs = {path: s.spec for path, s in tree_paths_and_leaves(tree)}
+    assert specs["layers/self_attn/qkv_proj/kernel_q4"][-1] == "model"
+    assert specs["layers/self_attn/qkv_proj/scale4"][-1] == "model"
+    assert specs["layers/mlp/gate_up/kernel_q4"][-1] == "model"
+    assert specs["lm_head/kernel_q4"][-1] == "model"
+    # contraction-sharded planes stay replicated in packed int4 form
+    assert all(a is None for a in specs["layers/mlp/down/kernel_q4"])
+
+
 def test_vit_tp_forward_matches_replicated():
     cfg = Emu1Config.tiny().vision
     params = vit.init(jax.random.PRNGKey(2), cfg)
