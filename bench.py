@@ -915,12 +915,9 @@ def _llama_train_step_time(batch, seq, layers, k, remat="dots",
     def loss_fn(p, ids, mask):
         embeds = llama.embed(p, ids)
         hidden = llama.forward_hidden(p, cfg, embeds, mask, remat=remat)
-        logits = llama.logits(p, hidden[:, :-1])
-        tgt = ids[:, 1:]
-        lf = logits.astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(lf, axis=-1)
-        picked = jnp.take_along_axis(lf, tgt[..., None], axis=-1)[..., 0]
-        return jnp.mean(lse - picked)
+        # chunked CE: the [B*T, V] fp32 logits never exist whole
+        return llama.masked_ce_loss(p, hidden[:, :-1], ids[:, 1:],
+                                    mask[:, 1:])
 
     @jax.jit
     def steps(p, s, ids, mask):

@@ -154,23 +154,14 @@ def forward_loss(params: dict, cfg: Emu1Config, token_ids: jax.Array,
     embeds = scatter_image_embeds(params, token_ids, image_embeds, image_id)
     hidden = llama.forward_hidden(params["decoder"], cfg.llama, embeds,
                                   attention_mask, remat=remat)
-    logits = llama.logits(params["decoder"], hidden).astype(jnp.float32)
-
     ignore = ((token_ids == pad_id) | (token_ids == img_id)
               | (token_ids == img_end_id) | (token_ids == image_id))
-    shift_logits = logits[:, :-1]
-    shift_labels = token_ids[:, 1:]
     shift_valid = (~ignore[:, 1:]) & attention_mask[:, 1:].astype(bool)
-    # logsumexp-form CE: identical math to log_softmax+gather but never
-    # materializes the [B, T, V] fp32 log-prob tensor (the lse reduction
-    # fuses with the logits producer; ~2 GB less HBM traffic per step at
-    # 8x1024x32k).
-    lse = jax.scipy.special.logsumexp(shift_logits, axis=-1)
-    picked = jnp.take_along_axis(shift_logits, shift_labels[:, :, None],
-                                 axis=-1)[..., 0]
-    token_ll = picked - lse
-    return -jnp.sum(token_ll * shift_valid) / jnp.maximum(
-        jnp.sum(shift_valid), 1)
+    # chunked logsumexp CE: identical math to log_softmax+gather but the
+    # [B, T, V] fp32 logits never exist whole (llama.masked_ce_loss) —
+    # ~2 GB less peak HBM per step at 8x1024x32k
+    return llama.masked_ce_loss(params["decoder"], hidden[:, :-1],
+                                token_ids[:, 1:], shift_valid)
 
 
 sharding_rules = (

@@ -279,6 +279,48 @@ def logits(params: dict, hidden: jax.Array) -> jax.Array:
     return L.dense(params["lm_head"], hidden)
 
 
+def masked_ce_loss(params: dict, hidden: jax.Array, labels: jax.Array,
+                   valid: jax.Array, chunk: int = 1024) -> jax.Array:
+    """Masked CE over lm_head logits WITHOUT materializing [B, T, V].
+
+    hidden [B, T, D] (already shifted by the caller), labels/valid
+    [B, T]. Rows stream through the lm_head matmul in `chunk`-sized
+    slabs under jax.checkpoint: the fp32 logits exist only one chunk at
+    a time (131 MB at V=32k/chunk=1024 instead of 1.05 GB + its
+    cotangent), the backward recomputes each chunk's logits, and the
+    lm_head weight grad accumulates across the scan. Math is exactly
+    the full-logits logsumexp CE (row chunking is exact).
+    """
+    b, t, d = hidden.shape
+    hf = hidden.reshape(-1, d)
+    tg = labels.reshape(-1)
+    vl = valid.reshape(-1).astype(jnp.float32)
+    n = b * t
+    pad = (-n) % chunk
+    if pad:
+        hf = jnp.pad(hf, ((0, pad), (0, 0)))
+        tg = jnp.pad(tg, (0, pad))
+        vl = jnp.pad(vl, (0, pad))
+    nchunks = hf.shape[0] // chunk
+
+    @jax.checkpoint
+    def chunk_ll(h, tgt, v):
+        lg = L.dense(params["lm_head"], h).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(lg, axis=-1)
+        picked = jnp.take_along_axis(lg, tgt[:, None], axis=-1)[..., 0]
+        return jnp.sum((picked - lse) * v)
+
+    def body(acc, xs):
+        h, tgt, v = xs
+        return acc + chunk_ll(h, tgt, v), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.float32(0.0),
+        (hf.reshape(nchunks, chunk, d), tg.reshape(nchunks, chunk),
+         vl.reshape(nchunks, chunk)))
+    return -total / jnp.maximum(jnp.sum(vl), 1.0)
+
+
 def embed(params: dict, token_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][token_ids]
 

@@ -60,8 +60,17 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref=None, *, scale,
     keep = jnp.logical_and(keep, valid_ref[0, 0, :][None, :] > 0)
     s = jnp.where(keep, s, _NEG)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    # bf16 row-max (same trick as the ViT bhsd kernel): halves the lane
+    # reduction pass. m may sit ~0.4% below the true max, so exp(s - m)
+    # stays within exp(0.004|m|) of 1 — overflow would need |s| ~ 2e4,
+    # unreachable from normed activations; softmax and the lse residual
+    # are shift-invariant for any m, so the VJP math is unchanged. The
+    # clip guards fully-masked rows (all s = -1e30): bf16 can round the
+    # max BELOW -1e30, making s - m ~ +4e27 → exp overflow → NaN; legit
+    # rows never exceed ~0.4, so 30 is unreachable there.
+    m = jnp.max(s.astype(jnp.bfloat16), axis=-1,
+                keepdims=True).astype(jnp.float32)
+    p = jnp.exp(jnp.minimum(s - m, 30.0))
     denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)

@@ -172,12 +172,8 @@ def marginal(opt: str, remat="dots"):
                 embeds = embeds * (1 + c * 1e-12).astype(embeds.dtype)
             hidden = llama.forward_hidden(p, cfg, embeds, mask,
                                           remat=remat)
-            logits = llama.logits(p, hidden[:, :-1])
-            tgt = ids[:, 1:]
-            lf = logits.astype(jnp.float32)
-            lse = jax.scipy.special.logsumexp(lf, axis=-1)
-            picked = jnp.take_along_axis(lf, tgt[..., None], axis=-1)[..., 0]
-            return jnp.mean(lse - picked)
+            return llama.masked_ce_loss(p, hidden[:, :-1], ids[:, 1:],
+                                        mask[:, 1:])
 
         kk = 3
 
