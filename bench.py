@@ -891,10 +891,17 @@ def bench_emu2_gen(layers=8, steps=50):
     return 60.0 / dt_full
 
 
-def _llama_train_step_time(batch, seq, layers, k, remat="dots",
+def _llama_train_step_time(batch, seq, layers, k, remat="named",
                            hidden=5120, inter=13824, heads=40,
-                           optimizer="fused"):
-    """Min-of-3 seconds for k chained train steps at the given depth."""
+                           optimizer="fused", unroll=True):
+    """Min-of-3 seconds for k chained train steps at the given depth.
+
+    unroll=True unrolls the layer scan fully: per-layer dynamic slices
+    of the stacked weights (and dynamic-update-slice grad writes) become
+    static, which XLA folds into their consumers — measured -4% step
+    wall at L4 (marginal 123.7 -> 118.6 ms/layer, r4). Decode measured
+    this neutral (launch-bound); training is HBM/schedule-bound and the
+    static form schedules better. Costs ~L-times the compile time."""
     import optax
     from emu_tpu.config import LlamaConfig
     from emu_tpu.models import llama
@@ -914,7 +921,9 @@ def _llama_train_step_time(batch, seq, layers, k, remat="dots",
 
     def loss_fn(p, ids, mask):
         embeds = llama.embed(p, ids)
-        hidden = llama.forward_hidden(p, cfg, embeds, mask, remat=remat)
+        hidden = llama.forward_hidden(
+            p, cfg, embeds, mask, remat=remat,
+            scan_unroll=layers if unroll else 1)
         # chunked CE: the [B*T, V] fp32 logits never exist whole
         return llama.masked_ce_loss(p, hidden[:, :-1], ids[:, 1:],
                                     mask[:, 1:])
@@ -934,20 +943,24 @@ def _llama_train_step_time(batch, seq, layers, k, remat="dots",
     return _time_call(lambda: steps(params, opt_state, ids, mask))
 
 
-def bench_llama_train(batch=8, seq=1024, layers=4, k=3, remat="dots"):
+def bench_llama_train(batch=8, seq=1024, layers=4, k=3, remat="named"):
     """Training-step throughput: masked-CE LM objective at true 13B layer
     dims (reduced depth), per-layer remat, adafactor (the memory-lean
     TPU-classic optimizer — adamw moments at these dims would not leave
     room for activations on one chip). Attention runs the Pallas flash
     kernel in BOTH directions (custom VJP, ops/flash_attention.py).
 
-    Reported as full-40-layer-equiv tokens/sec/chip via a TWO-POINT depth
-    fit: timing `layers` and `2*layers` steps separates the per-layer
-    marginal cost from the fixed embed/lm_head/CE/optimizer cost, then
-    projects dt_full = fixed + 40*per_layer. A naive *(40/layers) scale
-    charges the fixed head cost 40/layers times — the lm_head+CE alone is
-    ~11% of a 4-layer step's FLOPs but <2% of a 40-layer one. Falls back
-    to the naive scale if the deeper point OOMs."""
+    Reported as full-40-layer-equiv tokens/sec/chip via a depth fit:
+    timing several depths separates the per-layer marginal cost from the
+    fixed embed/lm_head/CE/optimizer cost, then projects
+    dt_full = fixed + 40*per_layer. A naive *(40/layers) scale charges
+    the fixed head cost 40/layers times — the lm_head+CE alone is ~11%
+    of a 4-layer step's FLOPs but <2% of a 40-layer one.
+
+    remat="named" (bf16 dense saves + attn_out) overtook "dots" once the
+    chunked CE freed the logits slab: marginal 123.9 vs 127.2 ms/layer
+    (r4 A/B on a 160 TF/s chip) — less HBM residency at L4 depth now
+    buys scheduling room instead of being speed-neutral."""
     # the `layers`-deep step already rides the HBM edge (5 layers OOMs at
     # these dims), so the extra depth points go DOWN: layers/2, layers/4.
     dt_full = _fit_depth(

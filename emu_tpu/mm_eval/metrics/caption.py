@@ -216,12 +216,63 @@ def meteor(results: Dict[str, str], refs: Dict[str, List[str]], *,
     return total / max(len(results), 1)
 
 
-# SPICE waiver: the reference's SPICE metric is a Java scene-graph parser
+# SPICE note: the reference's SPICE metric is a Java scene-graph parser
 # (Stanford CoreNLP dependency trees → semantic propositions). Neither the
 # JVM toolchain nor the CoreNLP models exist in this image and the
-# algorithm is not reimplementable faithfully without them; COCO eval here
-# reports BLEU/METEOR/ROUGE-L/CIDEr (the four n-gram/alignment metrics),
-# which is the standard reduced set (e.g. nocaps leaderboard).
+# algorithm is not reimplementable faithfully without them. spice_lite
+# below is a documented graph-free approximation; the faithful four
+# n-gram/alignment metrics (BLEU/METEOR/ROUGE-L/CIDEr) remain the
+# comparable set (e.g. nocaps leaderboard).
+
+# function words excluded from SPICE-lite propositions (SPICE drops
+# non-content dependency nodes; this is the parse-free analogue)
+_STOP = frozenset(
+    "a an the of in on at to for with and or is are was were be been "
+    "being this that these those there it its his her their our your my "
+    "as by from into onto over under up down out off about than then "
+    "very some any each both all no not has have had do does did".split())
+
+
+def _propositions(tokens: List[str], stem) -> set:
+    """Parse-free proposition set: stemmed content words (SPICE object
+    tuples) + adjacent content-word pairs, skipping at most one function
+    word ('man ON a horse' → (man, horse)) — the attribute/relation
+    tuple analogue."""
+    content = [(i, stem(t)) for i, t in enumerate(tokens)
+               if t not in _STOP]
+    props = {(w,) for _, w in content}
+    for (i, a), (j, b) in zip(content, content[1:]):
+        if j - i <= 2:                    # adjacent or one function word
+            props.add((a, b))
+    return props
+
+
+def spice_lite(results: Dict[str, str], refs: Dict[str, List[str]]
+               ) -> float:
+    """Graph-free SPICE approximation (documented stand-in, NOT the
+    published metric): per-sample F1 between the candidate's proposition
+    set and the union of the references' sets (SPICE merges all
+    references into one scene graph before matching), averaged over the
+    corpus. Propositions are stemmed content-word unigrams + near-
+    adjacent pairs instead of CoreNLP dependency tuples; scores track
+    SPICE's ranking behavior (semantic-content overlap, order-
+    insensitive beyond adjacency) but are not numerically comparable to
+    pycocoevalcap SPICE (ref Emu1/mm_eval/datasets/coco.py:95-129)."""
+    stem = _stemmer()
+    total = 0.0
+    for k, hyp in results.items():
+        cand = _propositions(tokenize(hyp), stem)
+        ref = set()
+        for r in refs[k]:
+            ref |= _propositions(tokenize(r), stem)
+        if not cand or not ref:
+            continue
+        tp = len(cand & ref)
+        if tp == 0:
+            continue
+        p, rec = tp / len(cand), tp / len(ref)
+        total += 2 * p * rec / (p + rec)
+    return total / max(len(results), 1)
 
 
 def evaluate_captions(results: List[Dict], refs: Dict[str, List[str]]
@@ -234,4 +285,5 @@ def evaluate_captions(results: List[Dict], refs: Dict[str, List[str]]
     return {"BLEU-1": 100 * b[0], "BLEU-4": 100 * b[3],
             "METEOR": 100 * meteor(res, use_refs),
             "CIDEr": 100 * cider_d(res, use_refs),
-            "ROUGE-L": 100 * rouge_l(res, use_refs), "n": len(res)}
+            "ROUGE-L": 100 * rouge_l(res, use_refs),
+            "SPICE-lite": 100 * spice_lite(res, use_refs), "n": len(res)}

@@ -224,8 +224,8 @@ def _layer(p, cfg, x, rope_rows, new_kv_fn, kv_valid, causal,
 
 
 def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
-                   attention_mask: jax.Array, remat: bool = False
-                   ) -> jax.Array:
+                   attention_mask: jax.Array, remat: bool = False,
+                   scan_unroll: int = 1) -> jax.Array:
     """Causal forward over the whole sequence → final-norm hidden states.
 
     Matches HF `LlamaModel(...).hidden_states[-1]` (post final norm), the
@@ -271,7 +271,8 @@ def forward_hidden(params: dict, cfg: LlamaConfig, inputs_embeds: jax.Array,
                 jax.checkpoint_policies.save_only_these_names("attn_out")))
     elif remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"],
+                        unroll=max(1, scan_unroll))
     return L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
 
 

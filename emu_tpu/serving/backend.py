@@ -47,11 +47,21 @@ def parse_multipart(headers: Dict[str, str], body: bytes
 
 def _decode_prompt(form: Dict[str, str], files: Dict[str, bytes]):
     from PIL import Image
+    from emu_tpu import tokenization as T
     prompt = json.loads(form.get("prompt", "[]"))
     inputs = []
     for t, p in prompt:
         if t == "TEXT":
             inputs.append(p)
+        elif t == "VIDEO":
+            # p: list of frame file keys (client-sampled frames) — the
+            # chat pipeline's video span vocabulary (pipelines/chat.py
+            # _prepare_inputs; ref Emu2/emu/chat.py video markers)
+            inputs.append(T.VIDEO)
+            for key in p:
+                inputs.append(Image.open(io.BytesIO(files[key]))
+                              .convert("RGB"))
+            inputs.append(T.FAKE_VIDEO_END)
         else:
             inputs.append(Image.open(io.BytesIO(files[p])).convert("RGB"))
     return inputs

@@ -51,7 +51,7 @@ class DataMeta:
 
     def __init__(self):
         self.text = self.image = self.coordinate = self.frames = None
-        self.mask = None
+        self.mask = self.stack_frame = None
         self.datatype = DataType.TEXT
 
     @classmethod
@@ -73,6 +73,8 @@ class DataMeta:
             ins.datatype = DataType.TEXT
         else:
             ins.datatype = DataType.VIDEO
+            if ins.frames:
+                ins.stack()
         return ins
 
     @staticmethod
@@ -102,6 +104,18 @@ class DataMeta:
                 h = EVA_IMAGE_SIZE
             imgs[i] = im.resize((w, h))
         return imgs[0] if single else imgs
+
+    def stack(self):
+        """Filmstrip preview: sampled frames pasted side by side into one
+        image (ref meta.py:214-220) — what the UI shows for a video."""
+        from PIL import Image
+        w, h = self.frames[0].size
+        n = len(self.frames)
+        strip = Image.new(mode="RGB", size=(w * n, h))
+        for idx, f in enumerate(self.frames):
+            strip.paste(f, (idx * w, 0))
+        self.stack_frame = strip
+        return strip
 
     def draw_box(self):
         """White rectangle on a 448² black canvas (ref meta.py:208-213)."""
@@ -195,6 +209,9 @@ FRONTEND_HTML = """<!DOCTYPE html>
 <h2>Multimodal Chat (/v1/mmc)</h2>
 <div id="chatlog"></div>
 <input type="file" id="chatimg" accept="image/*">
+<input type="file" id="chatvid" accept="video/*" onchange="strip(this)">
+<canvas id="filmstrip" style="max-width:100%;display:none;
+ border:1px solid #ccc"></canvas>
 <textarea id="chattext" rows="2" placeholder="ask about the image..."></textarea>
 <div class="row">
  <label>beams <input id="beams" type="number" value="5"></label>
@@ -215,11 +232,52 @@ FRONTEND_HTML = """<!DOCTYPE html>
 <button onclick="gen()">Generate</button>
 <div><img id="genout" class="result"></div>
 <script>
+let vidFrames = [];   // sampled video frames (Blobs), set by strip()
+async function sampleFrames(file, n){
+ // decode n midpoint-spaced frames via <video> + canvas (the client-side
+ // analogue of pipelines/preprocess.extract_frames)
+ const url = URL.createObjectURL(file);
+ const v = document.createElement("video");
+ v.src = url; v.muted = true;
+ await new Promise(res => v.onloadedmetadata = res);
+ const c = document.createElement("canvas");
+ c.width = v.videoWidth; c.height = v.videoHeight;
+ const ctx = c.getContext("2d");
+ const frames = [];
+ for (let i = 0; i < n; i++){
+  v.currentTime = (i + 0.5) / n * v.duration;
+  await new Promise(res => v.onseeked = res);
+  ctx.drawImage(v, 0, 0);
+  frames.push(await new Promise(res => c.toBlob(res, "image/jpeg", 0.9)));
+ }
+ URL.revokeObjectURL(url);
+ return {frames, w: v.videoWidth, h: v.videoHeight};
+}
+async function strip(input){
+ // filmstrip preview: frames pasted side by side (ref meta.py stack())
+ if (!input.files.length) return;
+ const n = 4;
+ const {frames, w, h} = await sampleFrames(input.files[0], n);
+ vidFrames = frames;
+ const c = document.getElementById("filmstrip");
+ c.width = w * n; c.height = h;
+ const ctx = c.getContext("2d");
+ for (let i = 0; i < n; i++){
+  const img = await createImageBitmap(frames[i]);
+  ctx.drawImage(img, i * w, 0);
+ }
+ c.style.display = "block";
+}
 async function post(path, fields, img){
  const fd = new FormData();
  const prompt = [];
  if (img && img.files.length){prompt.push(["IMAGE","img0"]);
    fd.append("img0", img.files[0]);}
+ if (fields.video && vidFrames.length){
+   const keys = vidFrames.map((_, i) => "vidf" + i);
+   vidFrames.forEach((b, i) => fd.append(keys[i], b, keys[i] + ".jpg"));
+   prompt.push(["VIDEO", keys]);
+ }
  if (fields.text) prompt.push(["TEXT", fields.text]);
  fd.append("prompt", JSON.stringify(prompt));
  fd.append("log_id", Math.random().toString(36).slice(2));
@@ -231,7 +289,7 @@ async function chat(){
  const text = document.getElementById("chattext").value;
  const log = document.getElementById("chatlog");
  log.textContent += "USER: " + text + "\\n";
- const res = await post("/v1/mmc", {text, extra:{
+ const res = await post("/v1/mmc", {text, video: true, extra:{
    num_beams: document.getElementById("beams").value,
    max_new_tokens: document.getElementById("maxnew").value}},
    document.getElementById("chatimg"));

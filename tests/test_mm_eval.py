@@ -91,6 +91,30 @@ def test_meteor_bounds_and_ordering():
     assert perfect > 0.99
 
 
+def test_spice_lite_bounds_and_ordering():
+    from emu_tpu.mm_eval.metrics.caption import spice_lite
+    refs = {"0": ["a brown dog chases the red ball",
+                  "the dog runs after a ball"]}
+    perfect = spice_lite({"0": "a brown dog chases the red ball"}, refs)
+    partial = spice_lite({"0": "a dog with a ball"}, refs)
+    zero = spice_lite({"0": "quantum flux capacitor"}, refs)
+    assert 1.0 >= perfect > partial > zero == 0.0
+    # content words matter, function words don't: adding articles is free
+    assert spice_lite({"0": "the brown dog chases a red ball"}, refs) \
+        == perfect
+
+
+def test_spice_lite_merges_references():
+    from emu_tpu.mm_eval.metrics.caption import spice_lite
+    # a candidate drawing propositions from BOTH references scores higher
+    # recall than either reference alone would allow (SPICE merges the
+    # reference scene graphs before matching)
+    refs = {"0": ["a man rides a horse", "a person wears a hat"]}
+    both = spice_lite({"0": "a man rides a horse and wears a hat"}, refs)
+    one = spice_lite({"0": "a man rides a horse"}, refs)
+    assert both > one > 0.0
+
+
 def test_trie_tables():
     # candidates: [5, 6, EOS], [5, 7, EOS]
     trie = build_trie([[5, 6, 2], [5, 7, 2]], vocab_size=10, eos_token_id=2,

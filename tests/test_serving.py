@@ -90,6 +90,34 @@ def test_mmc_chat_route(server_port):
     assert isinstance(res["data"], str)
 
 
+def test_mmc_video_prompt(server_port):
+    """["VIDEO", [frame keys]] decodes to the chat pipeline's video span
+    ([VIDEO] frame1..frameN [/VIDEO] — pipelines/chat._prepare_inputs);
+    the UI posts client-sampled filmstrip frames this way."""
+    res = _post(server_port, "/v1/mmc",
+                {"log_id": "tv",
+                 "prompt": json.dumps([["VIDEO", ["vidf0", "vidf1"]],
+                                       ["TEXT", "what happens"]]),
+                 "num_beams": "1", "max_new_tokens": "3"},
+                {"vidf0": _png_bytes(), "vidf1": _png_bytes()})
+    assert res["code"] == 0
+    assert isinstance(res["data"], str)
+
+
+def test_frontend_filmstrip_stack():
+    """DataMeta video items carry a stacked filmstrip preview (ref
+    Emu2/demo/frontend/libs/meta.py:214-220)."""
+    from PIL import Image
+    from emu_tpu.serving.frontend import DataMeta, DataType
+    frames = [Image.new("RGB", (32, 24), (i * 40, 0, 0)) for i in range(3)]
+    meta = DataMeta.build(frames=frames, resize=False)
+    assert meta.datatype == DataType.VIDEO
+    assert meta.stack_frame.size == (96, 24)
+    # frame i occupies columns [32i, 32(i+1))
+    assert meta.stack_frame.getpixel((33, 5)) == (40, 0, 0)
+    assert meta.stack_frame.getpixel((70, 5)) == (80, 0, 0)
+
+
 def test_mmg_generation_route(server_port):
     res = _post(server_port, "/v1/mmg",
                 {"log_id": "t2",
