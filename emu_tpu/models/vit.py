@@ -186,10 +186,16 @@ def _fused_attn_branch(cfg: VisionConfig, p: dict, x: jax.Array,
                            preferred_element_type=jnp.float32
                            ).astype(src.dtype) for t in range(3))
 
+    # EMU_TPU_VIT_STATIC_MAX=<float>: opt-in max-pass elimination (see
+    # _bhsd_kernel safety contract; default bf16 row-max). Snapshotted at
+    # import (ops/flags.py).
+    sm = flag("EMU_TPU_VIT_STATIC_MAX")
+    static_max = float(sm) if sm else None
+
     def attn_out(src):
         q, k, v = qkv_to_bhsd(src)
         o = mha_bhsd(q, k, v, pa["q_bias"], pa["v_bias"], scale=scale,
-                     s_real=s)
+                     s_real=s, static_max=static_max)
         if proj_q:
             from emu_tpu.ops.quant import einsum_w8a8
             y = einsum_w8a8("bhsd,hdw->bsw", o,

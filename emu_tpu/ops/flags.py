@@ -24,7 +24,8 @@ _FLAGS: dict[str, Optional[str]] = {
     name: os.environ.get(name)
     for name in ("EMU_TPU_FLASH", "EMU_TPU_DECODE_KERNEL",
                  "EMU_TPU_FUSED_ATTN", "EMU_TPU_FUSED_MLP",
-                 "EMU_TPU_Q4_KERNEL", "EMU_TPU_DECODE_UNROLL")
+                 "EMU_TPU_Q4_KERNEL", "EMU_TPU_DECODE_UNROLL",
+                 "EMU_TPU_VIT_STATIC_MAX")
 }
 
 

@@ -419,7 +419,7 @@ def mha_packed_qkv(qkv: jax.Array, num_heads: int, head_dim: int, *,
 
 
 def _bhsd_kernel(q_ref, k_ref, v_ref, bq_ref, bv_ref, o_ref, *,
-                 scale, hb, s_real):
+                 scale, hb, s_real, static_max=None):
     skv = k_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, skv), 1)
     pad_bias = jnp.where(col < s_real, 0.0, _NEG)
@@ -429,15 +429,27 @@ def _bhsd_kernel(q_ref, k_ref, v_ref, bq_ref, bv_ref, o_ref, *,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + pad_bias
-        # bf16 max: halves the lane-reduction pass. The subtracted m may sit
-        # a hair (~0.4%) below the true row max, so exp(s - m) stays within
-        # exp(0.004|m|) of 1 — overflow would need |scores| ~ 2e4,
-        # unreachable from LN'd activations at these dims; the softmax
-        # output is unchanged (shift invariance holds for any m).
-        m = jnp.max(s.astype(jnp.bfloat16), axis=-1,
-                    keepdims=True).astype(jnp.float32)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if static_max is not None:
+            # max-pass ELIMINATION (EMU_TPU_VIT_STATIC_MAX, opt-in):
+            # subtract a calibrated constant instead of reducing the row
+            # max — softmax is shift-invariant, so exact math is
+            # unchanged; measured 374 -> ~300 us/layer at ViT-g shapes
+            # (tools/exp_vit_attn.py). SAFETY CONTRACT: the bound must
+            # sit within ~+70 of the true row max (denominator subnormal
+            # underflow beyond that) and no more than ~-60 below it (the
+            # clip then misweights top entries). bf16 row-max stays the
+            # default — see BASELINE.md for why this is opt-in only.
+            p = jnp.exp(jnp.minimum(s - static_max, 60.0))
+        else:
+            # bf16 max: halves the lane-reduction pass. m may sit a hair
+            # (~0.4%) below the true row max, so exp(s - m) stays within
+            # exp(0.004|m|) of 1 — overflow would need |scores| ~ 2e4,
+            # unreachable from LN'd activations at these dims; the
+            # softmax output is unchanged (shift invariance).
+            m = jnp.max(s.astype(jnp.bfloat16), axis=-1,
+                        keepdims=True).astype(jnp.float32)
+            p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
         o = jax.lax.dot_general(p.astype(v_ref.dtype),
                                 v_ref[0, hh] + bv_ref[hh],
                                 (((1,), (0,)), ((), ())),
@@ -470,17 +482,21 @@ def bhsd_plan(h: int, d: int, s: int, itemsize: int):
     return min(cands, key=lambda c: (c[1] < 64, c[2], -c[0], -c[1]))
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "s_real", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "s_real", "interpret",
+                                             "static_max"))
 def mha_bhsd(q: jax.Array, k: jax.Array, v: jax.Array,
              q_bias: Optional[jax.Array] = None,
              v_bias: Optional[jax.Array] = None, *,
              scale: float = 1.0, s_real: Optional[int] = None,
-             interpret: bool = False) -> jax.Array:
+             interpret: bool = False,
+             static_max: Optional[float] = None) -> jax.Array:
     """Unmasked self-attention on head-major [B, H, S', D] inputs.
 
     S' must be padded (8-aligned) by the caller per bhsd_plan; rows beyond
     `s_real` are masked out of the softmax. q_bias/v_bias are per-head
-    [H, D] projection biases applied in-kernel."""
+    [H, D] projection biases applied in-kernel. static_max (opt-in via
+    EMU_TPU_VIT_STATIC_MAX) replaces the row-max reduction with a
+    calibrated constant — see _bhsd_kernel for the safety contract."""
     b, h, sp, d = q.shape
     s_real = sp if s_real is None else s_real
     plan = bhsd_plan(h, d, s_real, q.dtype.itemsize)
@@ -490,7 +506,8 @@ def mha_bhsd(q: jax.Array, k: jax.Array, v: jax.Array,
     qb = zeros if q_bias is None else q_bias.reshape(h, 1, d).astype(q.dtype)
     vb = zeros if v_bias is None else v_bias.reshape(h, 1, d).astype(q.dtype)
 
-    kern = functools.partial(_bhsd_kernel, scale=scale, hb=hb, s_real=s_real)
+    kern = functools.partial(_bhsd_kernel, scale=scale, hb=hb, s_real=s_real,
+                             static_max=static_max)
     kv_spec = pl.BlockSpec((1, hb, sp, d), lambda i, g, iq: (i, g, 0, 0),
                            memory_space=pltpu.VMEM)
     qo_spec = pl.BlockSpec((1, hb, bq, d), lambda i, g, iq: (i, g, iq, 0),

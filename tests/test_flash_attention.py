@@ -272,6 +272,35 @@ def test_mha_bhsd_matches_xla(s, h, d):
                                atol=2e-3)
 
 
+def test_mha_bhsd_static_max_matches_rowmax():
+    """Opt-in max-pass elimination (EMU_TPU_VIT_STATIC_MAX): with a bound
+    inside the safety contract (within +70 of the true row max), outputs
+    match the row-max kernel; a bound far BELOW the scores hits the exp
+    clip and stays finite (containment, not correctness)."""
+    from emu_tpu.ops.flash_attention import bhsd_plan, mha_bhsd
+    b, s, h, d = 2, 257, 16, 88
+    s_pad = bhsd_plan(h, d, s, 2)[2]
+    q, k, v = (_rand(60 + i, (b, s, h, d)) for i in range(3))
+
+    def pad_t(t):
+        t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        return t.transpose(0, 2, 1, 3)
+
+    ref = mha_bhsd(pad_t(q), pad_t(k), pad_t(v), scale=d ** -0.5,
+                   s_real=s, interpret=True)
+    for bound in (10.0, 60.0):           # loose and looser, both in-range
+        out = mha_bhsd(pad_t(q), pad_t(k), pad_t(v), scale=d ** -0.5,
+                       s_real=s, interpret=True, static_max=bound)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+    # violation containment: bound 100 BELOW the scores → clipped exp,
+    # finite outputs (wrong weighting is the documented failure mode)
+    out = mha_bhsd(pad_t(q), pad_t(k), pad_t(v), scale=d ** -0.5,
+                   s_real=s, interpret=True, static_max=-100.0)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_decode_attention_matches_xla():
     """Single-query (decode) pallas kernel on the head-major cache ≡ XLA
     attention with kv_valid — MHA and GQA, short and multi-chunk."""
