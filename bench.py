@@ -485,12 +485,11 @@ def main():
         return g
 
     # --- pinned lanes (run every round, in this order) ---------------
-    # the reference's flagship interactive workload (VERDICT r3 missing-1)
+    # the reference's flagship interactive workload (VERDICT r3
+    # missing-1; ~4 min of budget — the int4-s4 and device-preprocess
+    # variants rotate below instead of pinning another 8 min)
     run("Emu2-Chat e2e int8 448px->20tok (decoder depth fit 16/8 to 60)",
         bench_emu2_chat, "replies/s/chip")
-    run("Emu2-Chat e2e int4 native-s4 448px->20tok (depth fit 16/8 to "
-        "60)", with_s4(functools.partial(bench_emu2_chat, quant="int4")),
-        "replies/s/chip")
     run("llama-13B-equiv train step", bench_llama_train, "tok/s/chip")
     run("train depth-fit validation (full-width 2/3/4 collinearity + "
         "quarter-width 4/2-fit vs measured 8/16-layer)",
@@ -625,6 +624,13 @@ def main():
         ("Emu1 caption e2e int8 full-depth",
          functools.partial(bench_emu1_caption, int8=True, full_depth=True),
          "captions/s/chip"),
+        ("Emu2-Chat e2e int4 native-s4 448px->20tok (depth fit 16/8 to "
+         "60)", with_s4(functools.partial(bench_emu2_chat, quant="int4")),
+         "replies/s/chip"),
+        ("Emu2-Chat e2e int8 device-preprocess (raw 448^2 uint8 in; "
+         "fused resize+normalize on device; depth fit 16/8 to 60)",
+         functools.partial(bench_emu2_chat, device_pre=True),
+         "replies/s/chip"),
         ("Emu2-Gen e2e 1024^2 50-step Euler (decoder depth fit 8/4/2 to "
          "60)", bench_emu2_gen, "images/min"),
         ("SDXL-class UNet CFG 128^2", bench_sdxl_unet_step, "steps/s"),
@@ -747,7 +753,7 @@ def _emu1_caption_time(batch, layers, new, int8, full_depth,
 
 
 def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
-                    n_query=256):
+                    n_query=256, device_pre=False):
     """Emu2-Chat end-to-end — the reference's flagship interactive
     workload (Emu2/emu/chat.py:41-117): 448² image → EVA-4B encode (W8A8;
     the encoder is MXU-bound) → avg-pool to the Chat n_query=256 tokens
@@ -777,9 +783,17 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
                            dtype=jnp.bfloat16)
     proj_down = L.dense_init(kd, d_llm, vcfg.width, use_bias=False,
                              dtype=jnp.bfloat16)
-    images = jax.random.normal(
-        jax.random.PRNGKey(2),
-        (batch, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
+    if device_pre:
+        # raw uint8 frames in; fused resize+normalize on device (the
+        # north-star transfer path, same as the Emu1 caption variant)
+        images = jax.random.randint(
+            jax.random.PRNGKey(2),
+            (batch, vcfg.image_size, vcfg.image_size, 3), 0, 256,
+            jnp.uint8)
+    else:
+        images = jax.random.normal(
+            jax.random.PRNGKey(2),
+            (batch, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
     img_tok = 32002  # any reserved-token id; only placeholder equality matters
 
     def t(depth):
@@ -798,6 +812,10 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
 
         @jax.jit
         def e2e(p, im):
+            if device_pre:
+                from emu_tpu.pipelines.preprocess import device_preprocess
+                im = device_preprocess(
+                    im, vcfg.image_size).astype(jnp.bfloat16)
             vis = emu2.encode_image_lm(p, cfg, im).reshape(-1, d_llm)
             return emu2.generate(p, cfg, ids, mask, gcfg, img_tok, vis)
 
