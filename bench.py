@@ -498,14 +498,17 @@ def main():
         "40)", bench_emu1_t2i, "images/min")
 
     # --- rotating lanes -----------------------------------------------
-    # Order reverses every other round (parity of BENCH_r*.json count —
-    # the driver writes one per round) so budget exhaustion cannot starve
-    # the same tail lanes two rounds in a row (VERDICT r3 weak-5).
+    # The start point advances by 11 units per round (11 is coprime with
+    # the ~18-unit list, so the cycle visits every offset; keyed on the
+    # BENCH_r*.json count — the driver writes one per round). A plain
+    # reversal left the MIDDLE units (the quantized-decode blocks, incl.
+    # the 4k-ctx lane) starved from both directions; an offset rotation
+    # guarantees every unit runs within ceil(len/perRound) rounds
+    # (VERDICT r3 weak-5).
     import glob
-    parity = len(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_r*.json"))) % 2
-    rev = parity == 1
+    n_rounds = len(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    rev = n_rounds % 2 == 1      # block-internal lane order still flips
 
     def quant8_block():
         # quantized decode at TRUE 40-layer depth — weights built on
@@ -652,10 +655,10 @@ def main():
              + [quant8_block, quant4_block, gqa_block]
              + [lambda n=n, f=f, u=u: run(n, f, u)
                 for n, f, u in simple[2:]])
-    if rev:
-        units.reverse()
-    print(f"lane rotation: parity {parity} "
-          f"({'reversed' if rev else 'static'} order)", file=sys.stderr)
+    off = (n_rounds * 11) % len(units)
+    units = units[off:] + units[:off]
+    print(f"lane rotation: offset {off}/{len(units)} "
+          f"(round file count {n_rounds})", file=sys.stderr)
     for unit in units:
         unit()
 
