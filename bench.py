@@ -351,36 +351,54 @@ def _fit_depth(time_fn, depths, full, label):
     over-charges the fixed cost, under-reporting throughput) instead of a
     zero-slope extrapolation. With ≥3 points the least-squares residual is
     printed as the fit's error bar (VERDICT r3 weak-4)."""
+    depths = tuple(dict.fromkeys(max(d, 1) for d in depths))  # clamp+dedupe
     ts = {d: time_fn(d) for d in depths}
     hi, lo = depths[0], depths[-1]
-    if ts[hi] - ts[lo] <= _FIT_NOISE_FRAC * ts[hi]:
-        print(f"{label} depth fit: spread "
-              f"{(ts[hi] - ts[lo]) / ts[hi] * 100:.1f}% is inside the "
-              "noise floor; re-measuring endpoints", file=sys.stderr)
-        for d in (hi, lo):
+
+    def lsq():
+        n = len(depths)
+        sx = sum(depths)
+        sy = sum(ts[d] for d in depths)
+        sxx = sum(d * d for d in depths)
+        sxy = sum(d * ts[d] for d in depths)
+        per_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        per = max(per_raw, 0.0)
+        fixed = max((sy - per * sx) / n, 0.0)
+        resid = max(abs(fixed + per * d - ts[d]) / ts[d] for d in depths)
+        return per_raw, per, fixed, resid
+
+    per_raw, per, fixed, resid = lsq()
+    # Degenerate checks: endpoint spread inside the noise floor, an
+    # INVERTED slope, or a large residual (one stalled middle point can
+    # clamp the LS slope to ~0 while the endpoints look fine — the r3
+    # t2i failure class). One re-measure of every point, then the loud
+    # conservative fallback.
+    if (ts[hi] - ts[lo] <= _FIT_NOISE_FRAC * ts[hi] or per_raw <= 0
+            or resid > 0.10):
+        print(f"{label} depth fit: suspect measurements (spread "
+              f"{(ts[hi] - ts[lo]) / ts[hi] * 100:.1f}%, raw slope "
+              f"{per_raw * 1e3:.2f} ms/layer, residual "
+              f"{resid * 100:.1f}%); re-measuring all depths",
+              file=sys.stderr)
+        for d in depths:
             ts[d] = min(ts[d], time_fn(d))
-        if ts[hi] - ts[lo] <= _FIT_NOISE_FRAC * ts[hi]:
+        per_raw, per, fixed, resid = lsq()
+        if (ts[hi] - ts[lo] <= _FIT_NOISE_FRAC * ts[hi] or per_raw <= 0
+                or resid > 0.10):
             dt_naive = ts[hi] * full / hi
-            print(f"DEGENERATE FIT ({label}): depth {hi} = {ts[hi]:.3f}s "
-                  f"vs depth {lo} = {ts[lo]:.3f}s; reporting conservative "
-                  f"naive x{full}/{hi} scaling = {dt_naive:.3f}s",
-                  file=sys.stderr)
+            print(f"DEGENERATE FIT ({label}): times "
+                  f"{ {d: round(ts[d], 3) for d in depths} }; reporting "
+                  f"conservative naive x{full}/{hi} scaling = "
+                  f"{dt_naive:.3f}s", file=sys.stderr)
             return dt_naive
-    n = len(depths)
-    sx = sum(depths)
-    sy = sum(ts[d] for d in depths)
-    sxx = sum(d * d for d in depths)
-    sxy = sum(d * ts[d] for d in depths)
-    per = max((n * sxy - sx * sy) / (n * sxx - sx * sx), 0.0)
-    fixed = max((sy - per * sx) / n, 0.0)
-    resid = max(abs(fixed + per * d - ts[d]) / ts[d] for d in depths)
     ratio = full / hi
     note = (" [deep fits measured <=5.3% optimistic at 8x — BASELINE.md "
             "validation]" if ratio >= 5 else "")
+    resid_txt = (f"max residual {resid * 100:.1f}%" if len(depths) > 2
+                 else "2-point fit (no residual)")
     print(f"{label} depth fit: fixed {fixed:.3f}s + {per * 1e3:.2f} "
-          f"ms/layer over depths {list(depths)}; max residual "
-          f"{resid * 100:.1f}%, extrapolation x{ratio:.1f}{note}",
-          file=sys.stderr)
+          f"ms/layer over depths {list(depths)}; {resid_txt}, "
+          f"extrapolation x{ratio:.1f}{note}", file=sys.stderr)
     return fixed + full * per
 
 
@@ -488,7 +506,7 @@ def main():
     # the reference's flagship interactive workload (VERDICT r3
     # missing-1; ~4 min of budget — the int4-s4 and device-preprocess
     # variants rotate below instead of pinning another 8 min)
-    run("Emu2-Chat e2e int8 448px->20tok (decoder depth fit 16/8 to 60)",
+    run("Emu2-Chat e2e int8 448px->20tok (decoder depth fit 16/8/4 to 60)",
         bench_emu2_chat, "replies/s/chip")
     run("llama-13B-equiv train step", bench_llama_train, "tok/s/chip")
     run("train depth-fit validation (full-width 2/3/4 collinearity + "
@@ -627,11 +645,12 @@ def main():
         ("Emu1 caption e2e int8 full-depth",
          functools.partial(bench_emu1_caption, int8=True, full_depth=True),
          "captions/s/chip"),
-        ("Emu2-Chat e2e int4 native-s4 448px->20tok (depth fit 16/8 to "
-         "60)", with_s4(functools.partial(bench_emu2_chat, quant="int4")),
+        ("Emu2-Chat e2e int4 native-s4 448px->20tok (depth fit 16/8/4 "
+         "to 60)",
+         with_s4(functools.partial(bench_emu2_chat, quant="int4")),
          "replies/s/chip"),
         ("Emu2-Chat e2e int8 device-preprocess (raw 448^2 uint8 in; "
-         "fused resize+normalize on device; depth fit 16/8 to 60)",
+         "fused resize+normalize on device; depth fit 16/8/4 to 60)",
          functools.partial(bench_emu2_chat, device_pre=True),
          "replies/s/chip"),
         ("Emu2-Gen e2e 1024^2 50-step Euler (decoder depth fit 8/4/2 to "
@@ -765,7 +784,7 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
     native-s4 weight-only decoder — HBM-bound).
 
     No 33B mode fits one 16 GB chip at full depth (_emu2_33b_cfg), so the
-    decoder depth-fits 16/8 → 60 like the emu2-33B decode lanes; the 4B
+    decoder depth-fits 16/8/4 → 60 like the emu2-33B decode lanes; the 4B
     encode + projections + prefill-fixed cost land in the fit's fixed
     term. The W8A8 encoder (4 GB) + int8 16-layer decoder (8.6 GB) share
     the chip; the encoder is built ONCE and reused across depth points."""
@@ -824,7 +843,11 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
 
         return _time_call(e2e, params, images)
 
-    dt_full = _fit_depth(t, (layers, layers // 2), 60, "emu2-chat")
+    # three depths like every other deep-extrapolating lane, so the
+    # printed residual is a real error bar (a 2-point fit always reads
+    # 0%); the depth-4 decoder build is cheap next to 16/8
+    dt_full = _fit_depth(t, (layers, layers // 2, layers // 4), 60,
+                         "emu2-chat")
     return batch / dt_full
 
 

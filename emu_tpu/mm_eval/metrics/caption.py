@@ -235,14 +235,15 @@ _STOP = frozenset(
 
 def _propositions(tokens: List[str], stem) -> set:
     """Parse-free proposition set: stemmed content words (SPICE object
-    tuples) + adjacent content-word pairs, skipping at most one function
-    word ('man ON a horse' → (man, horse)) — the attribute/relation
-    tuple analogue."""
+    tuples) + near-adjacent content-word pairs, skipping up to TWO
+    function words — preposition+article relations are the commonest
+    SPICE relation shape ('man ON A horse' → (man, horse), gap 3) — the
+    attribute/relation tuple analogue."""
     content = [(i, stem(t)) for i, t in enumerate(tokens)
                if t not in _STOP]
     props = {(w,) for _, w in content}
     for (i, a), (j, b) in zip(content, content[1:]):
-        if j - i <= 2:                    # adjacent or one function word
+        if j - i <= 3:                    # adjacent or <=2 function words
             props.add((a, b))
     return props
 

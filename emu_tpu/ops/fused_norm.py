@@ -38,10 +38,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _block_rows(w_dim: int) -> int:
-    """Largest 8-aligned row block fitting the scoped-VMEM budget:
+    """Largest power-of-two row block fitting the scoped-VMEM budget:
     ~24 bytes/element (4 bf16 in/out planes double-buffered + 2 fp32
     temps). Powers of two divide the train slabs (B*S = 8192), avoiding
-    a pad copy of the whole activation."""
+    a pad copy of the whole activation. At the 13B width (W=5120) this
+    yields bm=64 — the configuration the on-chip win was measured with
+    (layer fwd+bwd 112.26 vs 112.86 ms baseline); the earlier 2 ms
+    REGRESSION was bm=40 (non-power-of-two → 8200-row pad copy + 205
+    tiny grid steps)."""
     bm = 8
     while bm * 2 * 24 * w_dim <= 15.5e6 and bm < 512:
         bm *= 2

@@ -233,40 +233,65 @@ FRONTEND_HTML = """<!DOCTYPE html>
 <div><img id="genout" class="result"></div>
 <script>
 let vidFrames = [];   // sampled video frames (Blobs), set by strip()
+function withTimeout(p, ms, what){
+ return Promise.race([p, new Promise((_, rej) =>
+   setTimeout(() => rej(new Error(what + " timed out")), ms))]);
+}
 async function sampleFrames(file, n){
  // decode n midpoint-spaced frames via <video> + canvas (the client-side
- // analogue of pipelines/preprocess.extract_frames)
+ // analogue of pipelines/preprocess.extract_frames); every wait is
+ // bounded so an unsupported codec errors instead of hanging the UI
  const url = URL.createObjectURL(file);
  const v = document.createElement("video");
- v.src = url; v.muted = true;
- await new Promise(res => v.onloadedmetadata = res);
- const c = document.createElement("canvas");
- c.width = v.videoWidth; c.height = v.videoHeight;
- const ctx = c.getContext("2d");
- const frames = [];
- for (let i = 0; i < n; i++){
-  v.currentTime = (i + 0.5) / n * v.duration;
-  await new Promise(res => v.onseeked = res);
-  ctx.drawImage(v, 0, 0);
-  frames.push(await new Promise(res => c.toBlob(res, "image/jpeg", 0.9)));
+ try{
+  v.src = url; v.muted = true;
+  await withTimeout(new Promise((res, rej) => {
+    v.onloadedmetadata = res;
+    v.onerror = () => rej(new Error("unsupported video"));
+  }), 10000, "video metadata");
+  const c = document.createElement("canvas");
+  c.width = v.videoWidth; c.height = v.videoHeight;
+  const ctx = c.getContext("2d");
+  const frames = [];
+  for (let i = 0; i < n; i++){
+   v.currentTime = (i + 0.5) / n * v.duration;
+   await withTimeout(new Promise(res => v.onseeked = res), 10000,
+                     "frame seek");
+   ctx.drawImage(v, 0, 0);
+   frames.push(await new Promise(res => c.toBlob(res, "image/jpeg", 0.9)));
+  }
+  return {frames, w: v.videoWidth, h: v.videoHeight};
+ }finally{
+  URL.revokeObjectURL(url);
  }
- URL.revokeObjectURL(url);
- return {frames, w: v.videoWidth, h: v.videoHeight};
+}
+function clearStrip(){
+ vidFrames = [];
+ const c = document.getElementById("filmstrip");
+ c.style.display = "none";
 }
 async function strip(input){
- // filmstrip preview: frames pasted side by side (ref meta.py stack())
+ // filmstrip preview: frames pasted side by side (ref meta.py stack());
+ // clearing the file input (or a decode failure) detaches the video so
+ // later messages don't silently re-send stale frames
+ clearStrip();
  if (!input.files.length) return;
- const n = 4;
- const {frames, w, h} = await sampleFrames(input.files[0], n);
- vidFrames = frames;
- const c = document.getElementById("filmstrip");
- c.width = w * n; c.height = h;
- const ctx = c.getContext("2d");
- for (let i = 0; i < n; i++){
-  const img = await createImageBitmap(frames[i]);
-  ctx.drawImage(img, i * w, 0);
+ try{
+  const n = 4;
+  const {frames, w, h} = await sampleFrames(input.files[0], n);
+  vidFrames = frames;
+  const c = document.getElementById("filmstrip");
+  c.width = w * n; c.height = h;
+  const ctx = c.getContext("2d");
+  for (let i = 0; i < n; i++){
+   const img = await createImageBitmap(frames[i]);
+   ctx.drawImage(img, i * w, 0);
+  }
+  c.style.display = "block";
+ }catch(e){
+  input.value = "";
+  alert("could not decode video: " + e);
  }
- c.style.display = "block";
 }
 async function post(path, fields, img){
  const fd = new FormData();
@@ -295,6 +320,9 @@ async function chat(){
    document.getElementById("chatimg"));
  log.textContent += "ASSISTANT: " +
    (res.code===0?res.data:("[error] "+res.data)) + "\\n";
+ // one-shot video attach: the frames were sent with THIS message
+ document.getElementById("chatvid").value = "";
+ clearStrip();
 }
 async function gen(){
  const extra = {
