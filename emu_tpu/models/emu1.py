@@ -144,16 +144,20 @@ def generate_image_embeds(params: dict, cfg: Emu1Config,
 def forward_loss(params: dict, cfg: Emu1Config, token_ids: jax.Array,
                  attention_mask: jax.Array, image_embeds: jax.Array,
                  special_ids: Tuple[int, int, int, int],
-                 remat: bool = False) -> jax.Array:
+                 remat: bool = False, scan_unroll: int = 1) -> jax.Array:
     """Masked shifted cross-entropy (ref modeling_llama.py:189-252).
 
     special_ids: (pad, img_start, img_end, image). Returns mean CE over
-    non-masked target positions.
+    non-masked target positions. remat accepts the forward_hidden policy
+    vocabulary (False/True/"dots"/"named"/"dots+attn"); the measured-best
+    13B train config on v5e-1 is remat="named" + scan_unroll=depth
+    (BASELINE.md train row).
     """
     pad_id, img_id, img_end_id, image_id = special_ids
     embeds = scatter_image_embeds(params, token_ids, image_embeds, image_id)
     hidden = llama.forward_hidden(params["decoder"], cfg.llama, embeds,
-                                  attention_mask, remat=remat)
+                                  attention_mask, remat=remat,
+                                  scan_unroll=scan_unroll)
     ignore = ((token_ids == pad_id) | (token_ids == img_id)
               | (token_ids == img_end_id) | (token_ids == image_id))
     shift_valid = (~ignore[:, 1:]) & attention_mask[:, 1:].astype(bool)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 
 def make_emu1_train_step(cfg, tx, special_ids: Tuple[int, int, int, int],
-                         remat: bool = False) -> Callable:
+                         remat: bool = False, scan_unroll: int = 1
+                         ) -> Callable:
     """Build a jitted train step.
 
     step(params, opt_state, images, token_ids, attention_mask)
@@ -30,6 +31,12 @@ def make_emu1_train_step(cfg, tx, special_ids: Tuple[int, int, int, int],
     - params/opt_state donated (in-place update on device);
     - shard params with `emu_tpu.parallel.shard_params` and batches with a
       P("data") sharding before calling — GSPMD handles the rest.
+    - remat: decoder remat policy (False/True/"dots"/"named"/"dots+attn";
+      the ViT treats any truthy value as per-block checkpoint).
+      scan_unroll: decoder layer-scan unroll. The measured-best 13B train
+      config on v5e-1 is remat="named", scan_unroll=depth — +6% step
+      throughput over the rolled scan (BASELINE.md train row) at the cost
+      of a depth-times-larger program to compile.
     """
     import optax  # noqa: F401  (documented dependency)
     from emu_tpu.models import causal_former, emu1, vit
@@ -37,13 +44,14 @@ def make_emu1_train_step(cfg, tx, special_ids: Tuple[int, int, int, int],
 
     def loss_fn(params, images, token_ids, attention_mask):
         feats = vit.forward_features(params["visual"], cfg.vision, images,
-                                     remat=remat)
+                                     remat=bool(remat))
         feats = L.layer_norm(params["ln_visual"], feats, eps=1e-6)
         vis = causal_former.forward(params["cformer"], cfg.t5, feats)
         # single source of truth for the masked-CE objective
         return emu1.forward_loss(params, cfg, token_ids, attention_mask,
                                  vis.reshape(-1, vis.shape[-1]),
-                                 special_ids, remat=remat)
+                                 special_ids, remat=remat,
+                                 scan_unroll=scan_unroll)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, token_ids, attention_mask):
@@ -69,14 +77,15 @@ class Trainer:
 
     def __init__(self, cfg, params, tx, special_ids, mesh=None,
                  remat: bool = False, checkpoint_dir: Optional[str] = None,
-                 checkpoint_every: int = 1000):
+                 checkpoint_every: int = 1000, scan_unroll: int = 1):
         from emu_tpu.models import emu1
         if mesh is not None:
             from emu_tpu.parallel import shard_params
             params = shard_params(params, mesh, emu1.sharding_rules)
         self.params = params
         self.opt_state = tx.init(params)
-        self._step_fn = make_emu1_train_step(cfg, tx, special_ids, remat)
+        self._step_fn = make_emu1_train_step(cfg, tx, special_ids, remat,
+                                             scan_unroll=scan_unroll)
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every

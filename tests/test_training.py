@@ -41,6 +41,18 @@ def test_overfit_one_batch_loss_decreases(tmp_path):
     import os
     assert any(d.startswith("step_") for d in os.listdir(tmp_path))
 
+    # the measured-best 13B config (remat="named" + unrolled layer scan,
+    # BASELINE.md train row) is reachable from the product Trainer and
+    # computes the same loss as the rolled/unrematted step. Fresh init:
+    # the first trainer's donated step consumed the original buffers.
+    params2 = emu1.init(jax.random.PRNGKey(0), cfg)
+    tuned = Trainer(cfg, params2, optax.adamw(3e-3),
+                    (pad, img, img_end, image), mesh=make_mesh((2, 4)),
+                    remat="named", scan_unroll=cfg.llama.num_hidden_layers)
+    l0 = tuned.step(jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask))
+    assert np.isfinite(l0)
+    assert abs(l0 - losses[0]) < 1e-3, (l0, losses[0])
+
 
 def test_remat_policies_grads_match():
     """Every remat policy is a pure memory/compute trade: gradients must be
