@@ -519,13 +519,13 @@ def main():
     run("llama-13B-equiv train step", bench_llama_train, "tok/s/chip")
 
     # --- rotating lanes -----------------------------------------------
-    # The start point advances by 11 units per round (11 is coprime with
-    # the ~18-unit list, so the cycle visits every offset; keyed on the
-    # BENCH_r*.json count — the driver writes one per round). A plain
-    # reversal left the MIDDLE units (the quantized-decode blocks, incl.
-    # the 4k-ctx lane) starved from both directions; an offset rotation
-    # guarantees every unit runs within ceil(len/perRound) rounds
-    # (VERDICT r3 weak-5).
+    # The start point advances by a fixed step per round (computed
+    # coprime with the unit count below, so the cycle visits every
+    # offset; keyed on the BENCH_r*.json count — the driver writes one
+    # per round). A plain reversal left the MIDDLE units (the
+    # quantized-decode blocks, incl. the 4k-ctx lane) starved from both
+    # directions; an offset rotation guarantees every unit runs within
+    # ceil(len/perRound) rounds (VERDICT r3 weak-5).
     import glob
     n_rounds = len(glob.glob(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
