@@ -392,7 +392,7 @@ def _fit_depth(time_fn, depths, full, label):
                   f"{dt_naive:.3f}s", file=sys.stderr)
             return dt_naive
     ratio = full / hi
-    note = (" [deep fits measured <=5.3% optimistic at 8x — BASELINE.md "
+    note = (" [deep fits measured 5-7% optimistic at 8x — BASELINE.md "
             "validation]" if ratio >= 5 else "")
     resid_txt = (f"max residual {resid * 100:.1f}%" if len(depths) > 2
                  else "2-point fit (no residual)")
