@@ -701,8 +701,16 @@ def main():
     units = units[off:] + units[:off]
     print(f"lane rotation: offset {off}/{len(units)} step {step} "
           f"(round file count {n_rounds})", file=sys.stderr)
-    for unit in units:
+    for i, unit in enumerate(units):
         unit()
+        # keep a headline JSON inside ANY ~2000-char output tail window:
+        # lanes only check the budget BEFORE starting, so a slow lane
+        # that begins near the deadline can overshoot into the driver's
+        # hard kill — which would lose the final re-print below, and
+        # enough secondary output after the early print re-creates the
+        # r03 parsed:null failure. Every 4th lane ≈ every ~1000 chars.
+        if headline is not None and i % 4 == 3:
+            print(headline, flush=True)
     if skipped:
         names = "; ".join(n[:34] for n in skipped[:5])
         more = f" (+{len(skipped) - 5} more)" if len(skipped) > 5 else ""
