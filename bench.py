@@ -20,6 +20,7 @@ tokens/sec/chip, SD1.5-class UNet CFG denoise steps/sec.
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,41 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_VIT_G_IMG_PER_S = 200.0  # documented estimate, BASELINE.md
+
+# ---------------------------------------------------------------------------
+# Lane sidecar: every completed lane persists to BENCH_LANES.json as it
+# finishes (atomic replace), so a driver hard-kill mid-suite can never erase
+# measured coverage again (VERDICT r4 weak-1: rc=124 kept ~9 of 24 lanes in
+# the artifact tail). The file is committed per round; entries carry the
+# measuring round, wall seconds (reused as next round's ETA guard), and the
+# raw/corrected pair for deep depth fits.
+# ---------------------------------------------------------------------------
+
+_SIDECAR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LANES.json")
+
+
+def _sidecar_load() -> dict:
+    try:
+        with open(_SIDECAR_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 - absent or torn file
+        return {}
+
+
+def _sidecar_update(name: str, **fields) -> None:
+    data = _sidecar_load()
+    entry = data.get(name, {})
+    entry.update(fields)
+    data[name] = entry
+    tmp = _SIDECAR_PATH + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, _SIDECAR_PATH)
+    except OSError as e:
+        print(f"sidecar write failed: {e}", file=sys.stderr)
 
 
 def _fetch(x) -> float:
@@ -329,6 +365,51 @@ def chip_health_tflops() -> float:
 
 _DEADLINE = [float("inf")]
 
+# deep depth-fit bias (measured, bench_train_fit_validation r3+r4: the
+# 4/2 fit underpredicts a measured 16-layer step by 5.3-6.6%)
+_DEEP_FIT_RATIO = 5
+_DEEP_FIT_BIAS_LO, _DEEP_FIT_BIAS_MID, _DEEP_FIT_BIAS_HI = 0.05, 0.06, 0.07
+
+# populated by _fit_depth for the lane that just ran (sidecar metadata)
+_LAST_FIT: dict = {}
+
+# per-layer slopes measured earlier in the SAME run, keyed by decoder
+# family — sibling lanes (device-preprocess variants) differ from their
+# base lane only in the fixed term, so they reuse the slope instead of
+# re-measuring 3 depth points (VERDICT r4 item 2 amortization)
+_SHARED_SLOPES: dict = {}
+
+
+def _fit_or_share(time_fn, depths, full, label, share_key=None):
+    """`_fit_depth`, or a single deep-point measurement reusing a sibling
+    lane's per-layer slope from earlier in this run. Never shares across
+    runs/rounds — chip health varies run to run."""
+    if share_key and share_key in _SHARED_SLOPES:
+        per = _SHARED_SLOPES[share_key]
+        hi = depths[0]
+        t_hi = time_fn(hi)
+        dt = t_hi + (full - hi) * per
+        ratio = full / hi
+        _LAST_FIT.clear()
+        _LAST_FIT.update(shared_slope_from=share_key,
+                         per_layer_ms=round(per * 1e3, 3), depths=[hi],
+                         ratio=round(ratio, 1))
+        note = ""
+        if ratio >= _DEEP_FIT_RATIO:
+            raw = dt
+            dt = raw * (1 + _DEEP_FIT_BIAS_MID)
+            _LAST_FIT.update(raw_dt_s=round(raw, 4),
+                             corrected_dt_s=round(dt, 4))
+            note = f" [raw {raw:.3f}s -> bias-corrected]"
+        print(f"{label} shared-slope fit: t({hi})={t_hi:.3f}s + "
+              f"{per * 1e3:.2f} ms/layer (from {share_key}) -> "
+              f"{dt:.3f}s at depth {full}{note}", file=sys.stderr)
+        return dt
+    dt = _fit_depth(time_fn, depths, full, label)
+    if share_key and "per_layer_ms" in _LAST_FIT:
+        _SHARED_SLOPES[share_key] = _LAST_FIT["per_layer_ms"] / 1e3
+    return dt
+
 
 def _budget_left() -> float:
     return _DEADLINE[0] - time.perf_counter()
@@ -392,14 +473,34 @@ def _fit_depth(time_fn, depths, full, label):
                   f"{dt_naive:.3f}s", file=sys.stderr)
             return dt_naive
     ratio = full / hi
-    note = (" [deep fits measured 5-7% optimistic at 8x — BASELINE.md "
-            "validation]" if ratio >= 5 else "")
     resid_txt = (f"max residual {resid * 100:.1f}%" if len(depths) > 2
                  else "2-point fit (no residual)")
+    dt = fixed + full * per
+    _LAST_FIT.clear()
+    _LAST_FIT.update(fixed_s=round(fixed, 4), per_layer_ms=round(per * 1e3, 3),
+                     depths=list(depths), resid_pct=round(resid * 100, 2),
+                     ratio=round(ratio, 1))
+    note = ""
+    if ratio >= _DEEP_FIT_RATIO:
+        # Apply the VALIDATED deep-extrapolation bias instead of footnoting
+        # it (VERDICT r4 weak-5): at ≥5x the linear model undershoots step
+        # time 5-7% (per-layer cost knee past the HBM-pressure threshold —
+        # BASELINE.md root cause). Report the 6% midpoint correction; the
+        # raw fit and the 5-7% range go to the sidecar/stderr.
+        dt_raw = dt
+        dt = dt_raw * (1 + _DEEP_FIT_BIAS_MID)
+        _LAST_FIT.update(raw_dt_s=round(dt_raw, 4),
+                         corrected_dt_s=round(dt, 4),
+                         bias_range_pct=[_DEEP_FIT_BIAS_LO * 100,
+                                         _DEEP_FIT_BIAS_HI * 100])
+        note = (f" [deep fit: raw {dt_raw:.3f}s -> bias-corrected "
+                f"{dt:.3f}s (range {dt_raw * (1 + _DEEP_FIT_BIAS_LO):.3f}"
+                f"-{dt_raw * (1 + _DEEP_FIT_BIAS_HI):.3f}s); 5-7% knee, "
+                f"BASELINE.md validation]")
     print(f"{label} depth fit: fixed {fixed:.3f}s + {per * 1e3:.2f} "
           f"ms/layer over depths {list(depths)}; {resid_txt}, "
           f"extrapolation x{ratio:.1f}{note}", file=sys.stderr)
-    return fixed + full * per
+    return dt
 
 
 def main():
@@ -412,17 +513,25 @@ def main():
     except Exception:  # noqa: BLE001 - older jax without the knobs
         pass
 
-    # Wall-clock budget (VERDICT r2: the round-2 suite overran the
-    # driver's ~30 min timeout and lost half its lanes from the round
-    # artifact). Lanes run most-informative-first; when the budget runs
-    # out the remaining lanes are skipped with a note and the process
-    # exits 0 so the driver captures everything that did run.
-    budget = float(os.environ.get("EMU_TPU_BENCH_BUDGET_S", "1500"))
+    # Wall-clock budget (VERDICT r2/r4: the driver hard-kills around the
+    # ~30 min mark and r4's 1500 s budget + a long final lane overshot it,
+    # rc=124). Two defenses: a lower default budget, and a per-lane ETA
+    # guard — a lane whose last-known duration (BENCH_LANES.json sidecar)
+    # does not fit the remaining budget is skipped instead of started,
+    # so no lane BEGINS near the deadline and overshoots into the kill.
+    # Lanes run most-informative-first; every completed lane persists to
+    # the sidecar immediately, so even a kill loses nothing measured.
+    budget = float(os.environ.get("EMU_TPU_BENCH_BUDGET_S", "1150"))
     _DEADLINE[0] = time.perf_counter() + budget
 
     health = chip_health_tflops()
     print(f"chip health probe: {health:.0f} TFLOP/s sustained matmul",
           file=sys.stderr)
+
+    import glob
+    sidecar0 = _sidecar_load()
+    this_round = len(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))) + 1
 
     only_pre = [s.strip() for s in
                 os.environ.get("EMU_TPU_BENCH_ONLY", "").split(",")
@@ -458,6 +567,9 @@ def main():
                                  3),
         })
         print(headline, flush=True)
+        _sidecar_update("HEADLINE EVA-ViT-g encode bf16",
+                        value=round(img_per_s, 2), unit="images/sec/chip",
+                        round=this_round, chip_tflops=round(health, 1))
     # EMU_TPU_BENCH_ONLY=<substring>[,<substring>]: run just the matching
     # secondary lanes — for quick A/Bs on the shared chip without paying
     # for the whole suite. Unset = all lanes.
@@ -473,18 +585,30 @@ def main():
     def run(name, fn, unit):
         if not want(name):
             return
-        if _budget_left() <= 0:
+        left = _budget_left()
+        eta = sidecar0.get(name, {}).get("wall_s")
+        if left <= 0 or (eta is not None and left < eta * 1.25 + 30):
             # one line each flooded the driver's ~2000-char stdout+stderr
             # tail window (24 skips ≈ the whole window, crowding out the
             # measured lanes) — collect and summarize once at the end
             skipped.append(name)
             return
         t0 = time.perf_counter()
+        _LAST_FIT.clear()
         try:
-            print(f"secondary: {name} {fn():.2f} {unit} "
-                  f"[{time.perf_counter() - t0:.0f}s]", file=sys.stderr)
+            val = fn()
+            wall = time.perf_counter() - t0
+            print(f"secondary: {name} {val:.2f} {unit} "
+                  f"[{wall:.0f}s]", file=sys.stderr)
+            _sidecar_update(name, value=round(float(val), 3), unit=unit,
+                            round=this_round, wall_s=round(wall, 1),
+                            chip_tflops=round(health, 1),
+                            **({"fit": dict(_LAST_FIT)} if _LAST_FIT
+                               else {}))
         except Exception as e:  # noqa: BLE001
             print(f"secondary {name} failed: {e}", file=sys.stderr)
+            _sidecar_update(name, last_error=str(e)[:300],
+                            error_round=this_round)
 
     def with_s4(fn, mode="1"):
         # native-s4 decode (quant.materialize_s4): weights stay
@@ -620,6 +744,16 @@ def main():
             print(f"secondary GQA full-depth build failed: {e}",
                   file=sys.stderr)
 
+    def caption_block():
+        # one unit: the device-pre sibling reuses the base lane's slope
+        # (_fit_or_share), so together they cost ~4 depth points, not 6
+        run("Emu1 caption e2e bf16 (depth fit from 8/4/2 decoder layers)",
+            bench_emu1_caption, "captions/s/chip")
+        run("Emu1 caption e2e bf16 device-preprocess (raw 448^2 uint8 "
+            "in; fused resize+normalize on device; shared-slope fit)",
+            functools.partial(bench_emu1_caption, device_pre=True),
+            "captions/s/chip")
+
     def lane(n, f, u):
         return lambda: run(n, f, u)
 
@@ -653,7 +787,7 @@ def main():
              with_s4(functools.partial(bench_emu2_chat, quant="int4")),
              "replies/s/chip"),
         lane("Emu2-Chat e2e int8 device-preprocess (raw 448^2 uint8 in; "
-             "fused resize+normalize on device; depth fit 16/8/4 to 60)",
+             "fused resize+normalize on device; shared-slope fit to 60)",
              functools.partial(bench_emu2_chat, device_pre=True),
              "replies/s/chip"),
         quant8_block,
@@ -685,12 +819,7 @@ def main():
              "(approximate; effective steps)",
              functools.partial(bench_sdxl_unet_step, cache_interval=3),
              "steps/s"),
-        lane("Emu1 caption e2e bf16 (depth fit from 8/4/2 decoder "
-             "layers)", bench_emu1_caption, "captions/s/chip"),
-        lane("Emu1 caption e2e bf16 device-preprocess (raw 448^2 uint8 "
-             "in; fused resize+normalize on device; depth fit)",
-             functools.partial(bench_emu1_caption, device_pre=True),
-             "captions/s/chip"),
+        caption_block,
     ]
     # step must stay coprime with len(units) or offsets cycle through a
     # subgroup and some units starve forever (11 divides the current 22)
@@ -742,10 +871,11 @@ def bench_emu1_caption(batch=8, layers=8, new=20, int8: bool = False,
         assert int8, "full-depth caption requires the int8 decoder"
         return batch / _emu1_caption_time(batch, 40, new, int8, True,
                                           device_pre)
-    dt_full = _fit_depth(
+    dt_full = _fit_or_share(
         lambda d: _emu1_caption_time(batch, d, new, int8, False,
                                      device_pre),
-        (layers, layers // 2, layers // 4), 40, "caption")
+        (layers, layers // 2, layers // 4), 40, "caption",
+        share_key=f"caption-{'int8' if int8 else 'bf16'}")
     return batch / dt_full
 
 
@@ -881,9 +1011,10 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
 
     # three depths like every other deep-extrapolating lane, so the
     # printed residual is a real error bar (a 2-point fit always reads
-    # 0%); the depth-4 decoder build is cheap next to 16/8
-    dt_full = _fit_depth(t, (layers, layers // 2, layers // 4), 60,
-                         "emu2-chat")
+    # 0%); the depth-4 decoder build is cheap next to 16/8. The
+    # device-pre variant shares the int8 lane's slope (same decoder).
+    dt_full = _fit_or_share(t, (layers, layers // 2, layers // 4), 60,
+                            "emu2-chat", share_key=f"emu2-chat-{quant}")
     return batch / dt_full
 
 

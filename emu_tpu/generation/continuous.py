@@ -96,8 +96,7 @@ class ContinuousEngine:
 
     # -- jitted programs ----------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
-    def _step_jit(self, params, state, rng):
+    def _step_body(self, params, state, rng):
         cfg = self.cfg
         st = dict(state)
         active = st["active"]
@@ -125,6 +124,28 @@ class ContinuousEngine:
                   last_token=jnp.where(active, nxt, st["last_token"]),
                   active=still, n_generated=n_gen)
         return st, out_tok, active
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _step_jit(self, params, state, rng):
+        return self._step_body(params, state, rng)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _block_jit(self, params, n_steps, state, rng):
+        """`n_steps` decode steps as ONE compiled program (lax.scan over
+        the step body). One dispatch + one host fetch per n tokens: on
+        dispatch-latency-bound backends (the tunneled chip charges ~20 µs
+        per op launch and 25 ms+ per host fetch) a per-step host
+        round-trip dominates the step() loop — blocking amortizes both.
+        Scheduling then runs at block granularity: retirements and
+        admissions happen between blocks, so a slot finishing mid-block
+        idles at most n-1 steps."""
+        def body(st, r):
+            st, out_tok, active = self._step_body(params, st, r)
+            return st, (out_tok, active)
+
+        st, (toks, actives) = jax.lax.scan(
+            body, state, jax.random.split(rng, n_steps))
+        return st, toks, actives, st["active"]
 
     @partial(jax.jit, static_argnums=(0,))
     def _mixed_jit(self, params, state, chunk_emb, admit_slot, qlen,
@@ -338,6 +359,43 @@ class ContinuousEngine:
         self.state, out_tok, was_active = self._step_jit(
             self.params, self.state, sub)
         return self._record(out_tok, was_active)
+
+    def step_block(self, n_steps: int):
+        """Dispatch `n_steps` decode steps as one program; returns an
+        opaque block result for record_block.
+
+        The result's arrays are unfetched device buffers — callers may
+        dispatch the NEXT block before recording this one, overlapping
+        the host fetch (and the scheduler's Python work) with device
+        compute (double buffering; see bench.py's serving lane). Chunked
+        admissions must be drained first (step() handles those)."""
+        if self._admissions:
+            raise RuntimeError(
+                "chunked admissions in flight; drain with step() first")
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, toks, actives, still = self._block_jit(
+            self.params, n_steps, self.state, sub)
+        return toks, actives, still
+
+    def record_block(self, block) -> int:
+        """Fetch + bookkeep one step_block result: append each advanced
+        slot's tokens, retire slots that finished within the block.
+        Returns the number of (slot, step) advances recorded."""
+        toks, actives, still = (np.asarray(x) for x in block)
+        advanced = 0
+        for slot, rid in enumerate(self.slot_req):
+            if rid is None:
+                continue
+            live = actives[:, slot]
+            if not live.any():
+                continue
+            req = self.requests[rid]
+            req.tokens.extend(int(t) for t in toks[live, slot])
+            advanced += int(live.sum())
+            if not still[slot]:
+                req.done = True
+                self.slot_req[slot] = None
+        return advanced
 
     def finished(self) -> Dict[int, List[int]]:
         """Drain completed requests: {req_id: generated token ids}."""

@@ -58,7 +58,7 @@ def _spec_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, max_new: int,
     arange_len = jnp.arange(max_len)
 
     def round_body(st):
-        t_cache, d_cache, committed, last, out, n, done = st
+        t_cache, d_cache, committed, last, out, n, rounds, done = st
 
         # -- draft proposes k tokens (chunk[0] = last, chunk[i+1] = p_i)
         def propose(i, carry):
@@ -104,29 +104,34 @@ def _spec_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, max_new: int,
         n = n + count
         committed = committed + count
         done = hit_eos | (n >= max_new)
-        return t_cache, d_cache, committed, new_last, out, n, done
+        return (t_cache, d_cache, committed, new_last, out, n, rounds + 1,
+                done)
 
     def cond(st):
         return ~st[-1]
 
     committed0 = jnp.int32(s)
     done0 = (last == eos) | (max_new <= 1)
-    st = (t_cache, d_cache, committed0, last, out0, jnp.int32(1), done0)
+    st = (t_cache, d_cache, committed0, last, out0, jnp.int32(1),
+          jnp.int32(0), done0)
     st = jax.lax.while_loop(cond, round_body, st)
-    return st[4], st[5]
+    return st[4], st[5], st[6]
 
 
 def speculative_generate(t_params, t_cfg, d_params, d_cfg, prompt_ids,
-                         *, max_new: int, k: int = 4, eos: int = 2
-                         ) -> Tuple[np.ndarray, int]:
+                         *, max_new: int, k: int = 4, eos: int = 2,
+                         return_rounds: bool = False):
     """Greedy speculative decode (B=1). Returns generated token ids.
 
     Output is token-identical to `llama_generate` greedy on the target
     model alone; the draft only accelerates. Both models must share a
-    tokenizer. k = proposal length per round."""
-    out, n = _spec_jit(t_params, t_cfg, d_params, d_cfg,
-                       jnp.asarray(prompt_ids, jnp.int32), max_new, k, eos)
+    tokenizer. k = proposal length per round. With return_rounds, also
+    returns the number of draft/verify rounds taken — tokens/rounds is
+    the measured mean acceptance (+1 correction token) per round."""
+    out, n, rounds = _spec_jit(t_params, t_cfg, d_params, d_cfg,
+                               jnp.asarray(prompt_ids, jnp.int32),
+                               max_new, k, eos)
     toks = list(np.asarray(out)[:int(n)])
     if eos in toks:
         toks = toks[:toks.index(eos) + 1]
-    return toks
+    return (toks, int(rounds)) if return_rounds else toks

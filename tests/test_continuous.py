@@ -59,6 +59,43 @@ def test_matches_single_request_greedy():
         assert results[rid] == want, (results[rid], want)
 
 
+def test_step_block_matches_step_loop():
+    """step_block(n) (the one-dispatch-per-n-tokens serving path) emits
+    exactly the tokens the per-step loop does, including mid-block EOS
+    retirement and between-block admission into a freed slot — with the
+    deferred double-buffered record (record block i after dispatching
+    block i+1)."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(2)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 11, 23)]
+    oracle = [_oracle(params, embeds_for(p), 9, eos) for p in prompts]
+
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 16, 32), eos_token_id=eos)
+    ids = [eng.submit(embeds_for(prompts[i]),
+                      jnp.ones((1, len(prompts[i])), jnp.int32), 9)
+           for i in (0, 1)]
+    pending = eng.step_block(4)
+    # double buffering: dispatch the next block before recording the first
+    pending2 = eng.step_block(4)
+    eng.record_block(pending)
+    eng.record_block(pending2)
+    # both requests hit max_new=9 (1 prefill token + 8 block tokens) or
+    # EOS'd; admit the third into whatever freed
+    if eng.free_slots():
+        ids.append(eng.submit(embeds_for(prompts[2]),
+                              jnp.ones((1, 23), jnp.int32), 9))
+    for _ in range(6):
+        eng.record_block(eng.step_block(4))
+        if all(r is None for r in eng.slot_req):
+            break
+    results = eng.finished()
+    assert set(results) == set(ids)
+    for rid, want in zip(ids, oracle[:len(ids)]):
+        assert results[rid] == want, (results[rid], want)
+
+
 def test_slot_reuse():
     """A freed slot admits a new request with clean state."""
     params, embeds_for = _setup()

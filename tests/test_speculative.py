@@ -53,6 +53,46 @@ def test_spec_equals_greedy_perfect_draft():
     assert got == want, (got, want)
 
 
+def test_spec_passthrough_target_full_acceptance():
+    """A deep target whose extra layers have zeroed o_proj/down_proj
+    computes the same function as its depth-truncated draft, so every
+    proposal is accepted: rounds == ceil((max_new-1)/k). This is the
+    construction bench.py's speculative upper-bound lane measures at 13B
+    scale (real 40-layer weight traffic, best-case acceptance)."""
+    deep_cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=4, num_attention_heads=4,
+                           vocab_size=97, extended_vocab_size=97,
+                           max_position_embeddings=256)
+    tparams = llama.init(jax.random.PRNGKey(3), deep_cfg)
+    keep = 2
+    for name in ("self_attn/o_proj", "mlp/down"):
+        node = tparams["layers"]
+        for part in name.split("/"):
+            node = node[part]
+        node["kernel"] = node["kernel"].at[keep:].set(0.0)
+    dparams = dict(tparams, layers=jax.tree_util.tree_map(
+        lambda x: x[:keep], tparams["layers"]))
+    d_cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=keep, num_attention_heads=4,
+                        vocab_size=97, extended_vocab_size=97,
+                        max_position_embeddings=256)
+    prompt = [5, 17, 3, 42, 8]
+    max_new, kk = 13, 4
+    embeds = llama.embed(tparams, jnp.asarray(prompt)[None])
+    mask = jnp.ones((1, len(prompt)), jnp.int32)
+    g = GenerationConfig(max_new_tokens=max_new, eos_token_id=96)
+    want = list(np.asarray(llama_generate(tparams, deep_cfg, embeds, mask,
+                                          g))[0])
+    if 96 in want:
+        want = want[:want.index(96) + 1]
+    got, rounds = speculative_generate(tparams, deep_cfg, dparams, d_cfg,
+                                       prompt, max_new=max_new, k=kk,
+                                       eos=96, return_rounds=True)
+    assert got == want, (got, want)
+    # all proposals accepted -> k tokens per round after the prefill token
+    assert rounds == -(-(len(got) - 1) // kk), (rounds, len(got))
+
+
 def test_decode_chunk_matches_steps():
     """decode_chunk over q tokens == q sequential decode_steps."""
     params = llama.init(jax.random.PRNGKey(2), CFG)
