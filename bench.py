@@ -631,13 +631,60 @@ def main():
                     os.environ["EMU_TPU_DECODE_S4"] = prev
         return g
 
+    def serving_block():
+        """The serving stack on chip (VERDICT r4 item 1): continuous
+        batching + speculative decode over one shared full-depth int8
+        weight build, plus the b1 plain-decode speculative baseline."""
+        names = ("serving continuous-batching int8 full-depth 8 slots "
+                 "(24 staggered reqs, block-16 double-buffered steps)",
+                 "llama-13B decode int8 full-depth b1 (speculative "
+                 "baseline)",
+                 "speculative decode int8 full-depth k=4 draft-4L UPPER "
+                 "(passthrough target, measured acceptance)",
+                 "speculative decode int8 full-depth k=4 draft-4L LOWER "
+                 "(negated-head draft, zero acceptance)")
+        if _budget_left() <= 0 or not any(want(s) for s in names):
+            return
+        try:
+            p8 = init_llama_quant_full(_llama_13b_cfg(40), "int8")
+            run(names[0],
+                functools.partial(bench_continuous_serving, params=p8),
+                "tok/s/chip")
+            run(names[1],
+                functools.partial(bench_llama_decode, batch=1, layers=40,
+                                  quant="int8", params=p8), "tok/s/chip")
+            if want(names[2]) or want(names[3]):
+                tgt = _passthrough_target(p8, 4)      # donates p8 layers
+                del p8
+                draft = dict(tgt, layers=jax.tree_util.tree_map(
+                    lambda x: x[:4], tgt["layers"]))
+                run(names[2], functools.partial(bench_speculative_decode,
+                                                tgt, draft, label="upper"),
+                    "tok/s/chip")
+                # lower bound: NEGATED draft lm_head — argmax becomes
+                # argmin, so proposals genuinely disagree every round
+                # (a random draft is NOT a lower bound: random-weight
+                # models fall into repeated-argmax fixed points that
+                # agree by accident). 1 emitted token per round.
+                head = dict(draft["lm_head"])
+                for kn in ("kernel", "kernel_q8"):
+                    if kn in head:          # negate VALUES only — scale
+                        head[kn] = -head[kn]   # too would double-negate
+                        break
+                d2 = dict(draft, lm_head=head)
+                del draft
+                run(names[3], functools.partial(bench_speculative_decode,
+                                                tgt, d2, label="lower"),
+                    "tok/s/chip")
+        except Exception as e:  # noqa: BLE001
+            print(f"serving block failed: {e}", file=sys.stderr)
+
     # --- pinned lanes (run every round, in this order) ---------------
-    # Only the two flagship workloads pin: the reference's interactive
-    # chat (VERDICT r3 missing-1) and the train step. The r4 guarded
-    # 3-point fits made lanes 3-5x slower than r3's 2-point fits, and a
-    # 4-lane pinned set (chat+train+validation+t2i ≈ 1170 s) consumed
-    # the whole 1500 s budget before ANY rotating unit ran (24 lanes
-    # skipped in the r4 pre-flight) — validation and t2i rotate below.
+    # r5 pins the serving block first (VERDICT r4 item 1: the one
+    # subsystem with zero TPU numbers), then the two flagship
+    # workloads: the reference's interactive chat (VERDICT r3
+    # missing-1) and the train step. Everything else rotates.
+    serving_block()
     run("Emu2-Chat e2e int8 448px->20tok (decoder depth fit 16/8/4 to 60)",
         bench_emu2_chat, "replies/s/chip")
     run("llama-13B-equiv train step", bench_llama_train, "tok/s/chip")
@@ -1016,6 +1063,125 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
     dt_full = _fit_or_share(t, (layers, layers // 2, layers // 4), 60,
                             "emu2-chat", share_key=f"emu2-chat-{quant}")
     return batch / dt_full
+
+
+def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
+                             new_max=64):
+    """Continuous-batching serving throughput (VERDICT r4 item 1a): a
+    ContinuousEngine slot pool over the full-depth int8 13B decoder
+    serves 3*slots staggered requests with UNEQUAL decode budgets
+    (16..64 tokens); finished slots refill between step-blocks. Decode
+    runs in step_block(16) programs — one dispatch + one deferred host
+    fetch per 16 tokens (double-buffered: the fetch of block i overlaps
+    block i+1's device compute).
+
+    Prints the static-convoy comparator inline: the same requests served
+    as ceil(3*slots/slots) fixed batches each running to its longest
+    member (the reference's whole-batch `generate` serving shape,
+    Emu2/demo/backend/pytorch_model/backend.py:55-93). Returns
+    REQUESTED-tokens/sec (padding/convoy waste counts against wall)."""
+    from emu_tpu.generation.continuous import ContinuousEngine
+    from emu_tpu.models import llama
+    cfg = _llama_13b_cfg(40)
+    if params is None:
+        params = init_llama_quant_full(cfg, "int8")
+    budgets = [new_max * f // 8 for f in (2, 3, 4, 5, 6, 7, 8, 8)]
+    budgets = (budgets * -(-slots * 3 // len(budgets)))[:slots * 3]
+    total_tokens = sum(budgets)
+    ids = jnp.full((1, prompt), 7, jnp.int32)
+    embeds = llama.embed(params, ids)
+    mask = jnp.ones((1, prompt), jnp.int32)
+
+    def once():
+        eng = ContinuousEngine(params, cfg, max_slots=slots,
+                               max_len=prompt + new_max,
+                               prefill_buckets=(prompt,),
+                               eos_token_id=None)
+        queue = list(budgets)
+        pending = None
+        while queue or any(r is not None for r in eng.slot_req) \
+                or pending is not None:
+            while queue and eng.free_slots():
+                eng.submit(embeds, mask, queue.pop(0))
+            if any(r is not None for r in eng.slot_req):
+                blk = eng.step_block(block)
+                if pending is not None:
+                    eng.record_block(pending)
+                pending = blk
+            elif pending is not None:
+                eng.record_block(pending)
+                pending = None
+        done = eng.finished()
+        got = sum(len(v) for v in done.values())
+        assert got == total_tokens, (got, total_tokens)
+
+    # warm (compiles prefill bucket + block program), then min-of-2
+    once()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        once()
+        best = min(best, time.perf_counter() - t0)
+    tput = total_tokens / best
+    n_reqs = len(budgets)
+    # static convoy comparator: groups of `slots`, each to its max budget
+    groups = [budgets[i:i + slots] for i in range(0, n_reqs, slots)]
+    dt8 = _llama_decode_time(slots, 40, prompt, new_max, "int8", None,
+                             False, params)
+    static_wall = sum(dt8 * max(g) / new_max for g in groups)
+    print(f"continuous serving: {n_reqs} reqs x {prompt} prompt, "
+          f"budgets {min(budgets)}..{max(budgets)} — {best:.2f}s wall "
+          f"({n_reqs / best:.2f} req/s) vs static convoy "
+          f"{static_wall:.2f}s ({total_tokens / static_wall:.0f} tok/s); "
+          f"speedup x{static_wall / best:.2f}", file=sys.stderr)
+    return tput
+
+
+def _passthrough_target(p8, keep):
+    """Zero o_proj/down_proj int8 values for layers >= keep IN PLACE
+    (donated): the deep target then computes the same function as its
+    depth-truncated draft while still paying full 40-layer int8 weight
+    traffic — the speculative upper bound's construction (acceptance is
+    genuinely computed, not forced; tests/test_speculative.py pins it)."""
+    @functools.partial(jax.jit, donate_argnums=0)
+    def f(layers):
+        out = {k: dict(v) if isinstance(v, dict) else v
+               for k, v in layers.items()}
+        sa = dict(out["self_attn"])
+        o = dict(sa["o_proj"])
+        o["kernel_q8"] = o["kernel_q8"].at[keep:].set(0)
+        sa["o_proj"] = o
+        out["self_attn"] = sa
+        mlp = dict(out["mlp"])
+        d = dict(mlp["down"])
+        d["kernel_q8"] = d["kernel_q8"].at[keep:].set(0)
+        mlp["down"] = d
+        out["mlp"] = mlp
+        return out
+
+    return dict(p8, layers=f(p8["layers"]))
+
+
+def bench_speculative_decode(t_params, d_params, k=4, new=64, prompt=128,
+                             label=""):
+    """Speculative decode tokens/sec (B=1): 4-layer draft proposes k
+    tokens, the full-depth int8 target verifies them in one chunked
+    forward (llama.decode_chunk). Greedy acceptance — output provably
+    equals target-only greedy. Prints the measured acceptance
+    (tokens/round)."""
+    from emu_tpu.generation.speculative import _spec_jit
+    t_cfg = _llama_13b_cfg(40)
+    d_cfg = _llama_13b_cfg(d_params["layers"]["input_layernorm"].shape[0])
+    pids = jnp.full((prompt,), 7, jnp.int32)
+    out, n, rounds = _spec_jit(t_params, t_cfg, d_params, d_cfg, pids,
+                               new, k, -1)
+    n, rounds = int(n), int(rounds)
+    dt = _time_call(lambda: _spec_jit(t_params, t_cfg, d_params, d_cfg,
+                                      pids, new, k, -1)[0])
+    print(f"speculative {label}: {n} tokens in {rounds} rounds "
+          f"({(n - 1) / max(rounds, 1):.2f} tok/round accepted, k={k}), "
+          f"{dt:.3f}s", file=sys.stderr)
+    return n / dt
 
 
 def _pipe_time(fn, iters=2):
