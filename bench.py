@@ -1360,6 +1360,10 @@ def _llama_train_step_time(batch, seq, layers, k, remat="named",
     if optimizer == "fused":
         from emu_tpu.optim import fused_adafactor
         tx = fused_adafactor(1e-3)
+    elif optimizer == "sgd":
+        # zero optimizer state — the knee-attribution A/B control
+        # (tools/probe_train_knee.py): same grads/remat, no accumulators
+        tx = optax.sgd(1e-4)
     else:
         tx = optax.adafactor(1e-3)
     opt_state = tx.init(params)
