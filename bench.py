@@ -636,7 +636,8 @@ def main():
         batching + speculative decode over one shared full-depth int8
         weight build, plus the b1 plain-decode speculative baseline."""
         names = ("serving continuous-batching int8 full-depth 8 slots "
-                 "(24 staggered reqs, block-16 double-buffered steps)",
+                 "(24 staggered reqs, int8 KV, block-16 "
+                 "double-buffered steps)",
                  "llama-13B decode int8 full-depth b1 (speculative "
                  "baseline)",
                  "speculative decode int8 full-depth k=4 draft-4L UPPER "
@@ -650,9 +651,12 @@ def main():
             run(names[0],
                 functools.partial(bench_continuous_serving, params=p8),
                 "tok/s/chip")
+            import gc
+            gc.collect()
             run(names[1],
                 functools.partial(bench_llama_decode, batch=1, layers=40,
                                   quant="int8", params=p8), "tok/s/chip")
+            gc.collect()
             if want(names[2]) or want(names[3]):
                 tgt = _passthrough_target(p8, 4)      # donates p8 layers
                 del p8
@@ -1104,7 +1108,7 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
         eng = ContinuousEngine(params, cfg, max_slots=slots,
                                max_len=prompt + new_max,
                                prefill_buckets=(prompt,),
-                               eos_token_id=None)
+                               eos_token_id=None, kv_cache_quant=True)
         queue = list(budgets)
         pending = None
         while queue or any(r is not None for r in eng.slot_req) \
@@ -1135,7 +1139,7 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
     # static convoy comparator: groups of `slots`, each to its max budget
     groups = [budgets[i:i + slots] for i in range(0, n_reqs, slots)]
     dt8 = _llama_decode_time(slots, 40, prompt, new_max, "int8", None,
-                             False, params)
+                             True, params)
     static_wall = sum(dt8 * max(g) / new_max for g in groups)
     print(f"continuous serving: {n_reqs} reqs x {prompt} prompt, "
           f"budgets {min(budgets)}..{max(budgets)} — {best:.2f}s wall "

@@ -96,6 +96,12 @@ class ContinuousEngine:
 
     # -- jitted programs ----------------------------------------------------
 
+    # Every program that takes `state` DONATES it: the multi-GB KV cache
+    # crosses the jit boundary each step/block, and without donation the
+    # input and output cache buffers are simultaneously live — +2x cache
+    # HBM next to full-depth weights (the r5 serving-lane OOM). The
+    # engine always replaces self.state with the result, so the donated
+    # buffers are never re-read.
     def _step_body(self, params, state, rng):
         cfg = self.cfg
         st = dict(state)
@@ -125,11 +131,11 @@ class ContinuousEngine:
                   active=still, n_generated=n_gen)
         return st, out_tok, active
 
-    @partial(jax.jit, static_argnums=(0,))
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_jit(self, params, state, rng):
         return self._step_body(params, state, rng)
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(3,))
     def _block_jit(self, params, n_steps, state, rng):
         """`n_steps` decode steps as ONE compiled program (lax.scan over
         the step body). One dispatch + one host fetch per n tokens: on
@@ -147,7 +153,7 @@ class ContinuousEngine:
             body, state, jax.random.split(rng, n_steps))
         return st, toks, actives, st["active"]
 
-    @partial(jax.jit, static_argnums=(0,))
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _mixed_jit(self, params, state, chunk_emb, admit_slot, qlen,
                    final, max_new_admit, rng):
         """One MIXED step (chunked prefill): every active slot decodes
@@ -205,7 +211,7 @@ class ContinuousEngine:
             max_new=jnp.where(is_admit, max_new_admit, st["max_new"]))
         return st, out_tok, active, first
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
     def _prefill_jit(self, params, state, embeds, mask, s_bucket, slot,
                      max_new, rng):
         cfg = self.cfg

@@ -61,6 +61,12 @@ def main():
     p.add_argument("--kv_quant", action="store_true",
                    help="with --continuous: int8 KV cache (2x context "
                         "capacity per chip)")
+    p.add_argument("--block_steps", type=int, default=8,
+                   help="with --continuous: decode N steps per compiled "
+                        "block with the host fetch double-buffered "
+                        "against the next block (one dispatch + one "
+                        "overlapped round-trip per N tokens); 1 = "
+                        "per-step loop")
     p.add_argument("--tiny", action="store_true",
                    help="serve tiny random-weight pipelines")
     p.add_argument("--chat_ckpt", default=None)
@@ -117,7 +123,8 @@ def main():
             chat_helper = ContinuousChatHelper(
                 build(0), max_slots=args.max_slots, max_len=args.max_len,
                 draft=draft, kv_cache_quant=args.kv_quant,
-                chunk_size=args.chunked_prefill)
+                chunk_size=args.chunked_prefill,
+                block_steps=args.block_steps)
         elif args.batching:
             from emu_tpu.serving.batching import BatchingChatHelper
             chat_helper = BatchingChatHelper(build(0))

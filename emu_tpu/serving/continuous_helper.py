@@ -45,7 +45,7 @@ class ContinuousChatHelper:
                  draft: Optional[Tuple[dict, object]] = None,
                  spec_k: int = 4, poll_s: float = 0.05,
                  kv_cache_quant: bool = False,
-                 chunk_size: Optional[int] = None):
+                 chunk_size: Optional[int] = None, block_steps: int = 8):
         from emu_tpu.generation.continuous import ContinuousEngine
         self.pipeline = pipeline
         tok = pipeline.tokenizer
@@ -54,6 +54,13 @@ class ContinuousChatHelper:
             max_slots=max_slots, max_len=max_len,
             eos_token_id=tok.eos_token_id,
             kv_cache_quant=kv_cache_quant, chunk_size=chunk_size)
+        # block_steps > 1: decode in step_block programs with the fetch
+        # of block i overlapping block i+1 (one dispatch + one deferred
+        # host round-trip per block_steps tokens — the measured serving
+        # throughput lever on dispatch-latency-bound backends). Costs at
+        # most block_steps-1 idle steps per retiring slot; 1 restores
+        # the per-step loop.
+        self.block_steps = max(1, int(block_steps))
         self.draft = draft                  # (params, LlamaConfig) or None
         self.spec_k = spec_k
         self.poll_s = poll_s
@@ -109,6 +116,7 @@ class ContinuousChatHelper:
         self.engine.slot_req = [None] * self.engine.max_slots
 
     def _dispatch(self):
+        pending_blk = None
         while not self._stop:
             try:
                 while self.engine.free_slots() > 0:
@@ -116,8 +124,24 @@ class ContinuousChatHelper:
                         self._admit(self.pending.get_nowait())
                     except queue.Empty:
                         break
-                if any(r is not None for r in self.engine.slot_req):
+                if getattr(self.engine, "_admissions", None):
+                    # chunked prefills stream through single MIXED steps
                     self.engine.step()
+                    self._resolve_finished()
+                    continue
+                if any(r is not None for r in self.engine.slot_req):
+                    if self.block_steps > 1:
+                        blk = self.engine.step_block(self.block_steps)
+                        if pending_blk is not None:
+                            self.engine.record_block(pending_blk)
+                        pending_blk = blk
+                    else:
+                        self.engine.step()
+                    self._resolve_finished()
+                    continue
+                if pending_blk is not None:     # drain the last block
+                    self.engine.record_block(pending_blk)
+                    pending_blk = None
                     self._resolve_finished()
                     continue
                 self._resolve_finished()    # submit-time completions
@@ -126,6 +150,7 @@ class ContinuousChatHelper:
                 except queue.Empty:
                     pass
             except Exception as ex:  # noqa: BLE001 — never kill the thread
+                pending_blk = None
                 self._fail_all(ex)
 
     # speculative side path --------------------------------------------------
