@@ -643,7 +643,9 @@ def main():
                  "speculative decode int8 full-depth k=4 draft-4L UPPER "
                  "(passthrough target, measured acceptance)",
                  "speculative decode int8 full-depth k=4 draft-4L LOWER "
-                 "(negated-head draft, zero acceptance)")
+                 "(negated-head draft, zero acceptance)",
+                 "speculative-batch decode int8 full-depth b8 k=4 "
+                 "draft-4L UPPER (one verify pass serves 8 rows)")
         if _budget_left() <= 0 or not any(want(s) for s in names):
             return
         try:
@@ -676,10 +678,14 @@ def main():
                         head[kn] = -head[kn]   # too would double-negate
                         break
                 d2 = dict(draft, lm_head=head)
-                del draft
                 run(names[3], functools.partial(bench_speculative_decode,
                                                 tgt, d2, label="lower"),
                     "tok/s/chip")
+                del d2
+                run(names[4], functools.partial(bench_speculative_batch,
+                                                tgt, draft, label="b8"),
+                    "tok/s/chip")
+                del draft
         except Exception as e:  # noqa: BLE001
             print(f"serving block failed: {e}", file=sys.stderr)
 
@@ -1194,6 +1200,28 @@ def bench_speculative_decode(t_params, d_params, k=4, new=64, prompt=128,
           f"({(n - 1) / max(rounds, 1):.2f} tok/round accepted, k={k}), "
           f"{dt:.3f}s", file=sys.stderr)
     return n / dt
+
+
+def bench_speculative_batch(t_params, d_params, batch=8, k=4, new=64,
+                            prompt=128, label=""):
+    """Batched speculative decode tokens/sec: every row proposes with
+    the draft and the target verifies ALL rows' chunks in one
+    decode_mixed_rows forward — one full-depth weight pass serves up to
+    batch*k accepted tokens per round."""
+    from emu_tpu.generation.speculative import _spec_batch_jit
+    t_cfg = _llama_13b_cfg(40)
+    d_cfg = _llama_13b_cfg(d_params["layers"]["input_layernorm"].shape[0])
+    ids = jnp.full((batch, prompt), 7, jnp.int32)
+    mask = jnp.ones_like(ids)
+    out, n, rounds = _spec_batch_jit(t_params, t_cfg, d_params, d_cfg,
+                                     ids, mask, new, k, -1)
+    total, rounds = int(jnp.sum(n)), int(rounds)
+    dt = _time_call(lambda: _spec_batch_jit(t_params, t_cfg, d_params,
+                                            d_cfg, ids, mask, new, k,
+                                            -1)[0])
+    print(f"speculative-batch {label}: {total} tokens ({batch} rows) in "
+          f"{rounds} rounds, {dt:.3f}s", file=sys.stderr)
+    return total / dt
 
 
 def _pipe_time(fn, iters=2):

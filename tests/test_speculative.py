@@ -6,7 +6,8 @@ import jax.numpy as jnp
 
 from emu_tpu.config import LlamaConfig
 from emu_tpu.generation.engine import GenerationConfig, llama_generate
-from emu_tpu.generation.speculative import speculative_generate
+from emu_tpu.generation.speculative import (speculative_generate,
+                                            speculative_generate_batch)
 from emu_tpu.models import llama
 
 CFG = LlamaConfig(hidden_size=32, intermediate_size=64,
@@ -91,6 +92,62 @@ def test_spec_passthrough_target_full_acceptance():
     assert got == want, (got, want)
     # all proposals accepted -> k tokens per round after the prefill token
     assert rounds == -(-(len(got) - 1) // kk), (rounds, len(got))
+
+
+def test_spec_batch_matches_per_row_greedy():
+    """Batched speculative decode (per-row acceptance over
+    decode_mixed_rows): three left-padded rows of different lengths each
+    produce exactly the tokens they'd get alone under target greedy, with
+    a weak draft (rows reject at different points every round)."""
+    tparams = llama.init(jax.random.PRNGKey(0), CFG)
+    dparams = llama.init(jax.random.PRNGKey(99), DRAFT_CFG)
+    rng = np.random.RandomState(5)
+    prompts = [list(rng.randint(1, 90, n)) for n in (3, 7, 5)]
+    eos = 96
+    want = [_oracle(tparams, p, 11, eos) for p in prompts]
+
+    s = max(len(p) for p in prompts)
+    ids = np.zeros((3, s), np.int32)
+    mask = np.zeros((3, s), np.int32)
+    for i, p in enumerate(prompts):          # left padding
+        ids[i, s - len(p):] = p
+        mask[i, s - len(p):] = 1
+    got = speculative_generate_batch(tparams, CFG, dparams, DRAFT_CFG,
+                                     ids, mask, max_new=11, k=4, eos=eos)
+    assert got == want, (got, want)
+
+
+def test_spec_batch_full_acceptance_rounds():
+    """Passthrough deep target + truncated draft at batch 2: every row
+    accepts every proposal, so the loop takes ceil((max_new-1)/k)
+    rounds."""
+    deep_cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=4, num_attention_heads=4,
+                           vocab_size=97, extended_vocab_size=97,
+                           max_position_embeddings=256)
+    tparams = llama.init(jax.random.PRNGKey(3), deep_cfg)
+    keep = 2
+    for name in ("self_attn/o_proj", "mlp/down"):
+        node = tparams["layers"]
+        for part in name.split("/"):
+            node = node[part]
+        node["kernel"] = node["kernel"].at[keep:].set(0.0)
+    dparams = dict(tparams, layers=jax.tree_util.tree_map(
+        lambda x: x[:keep], tparams["layers"]))
+    d_cfg = LlamaConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=keep, num_attention_heads=4,
+                        vocab_size=97, extended_vocab_size=97,
+                        max_position_embeddings=256)
+    ids = np.asarray([[5, 17, 3, 42], [9, 2, 71, 30]], np.int32)
+    got, rounds = speculative_generate_batch(
+        tparams, deep_cfg, dparams, d_cfg, ids, max_new=13, k=4, eos=-1,
+        return_rounds=True)
+    assert all(len(t) == 13 for t in got), [len(t) for t in got]
+    assert rounds == 3, rounds               # ceil(12/4)
+    # cross-check row 0 against the B=1 engine
+    solo = speculative_generate(tparams, deep_cfg, dparams, d_cfg,
+                                list(ids[0]), max_new=13, k=4, eos=-1)
+    assert got[0] == solo, (got[0], solo)
 
 
 def test_decode_chunk_matches_steps():
