@@ -1203,22 +1203,24 @@ def bench_speculative_decode(t_params, d_params, k=4, new=64, prompt=128,
 
 
 def bench_speculative_batch(t_params, d_params, batch=8, k=4, new=64,
-                            prompt=128, label=""):
+                            prompt=64, label=""):
     """Batched speculative decode tokens/sec: every row proposes with
     the draft and the target verifies ALL rows' chunks in one
     decode_mixed_rows forward — one full-depth weight pass serves up to
-    batch*k accepted tokens per round."""
+    batch*k accepted tokens per round. int8 KV (b8 bf16 caches next to
+    13.3 GB weights + the 1.3 GB draft would cross the HBM ceiling;
+    int8 is the serving default and the kernels consume it natively)."""
     from emu_tpu.generation.speculative import _spec_batch_jit
     t_cfg = _llama_13b_cfg(40)
     d_cfg = _llama_13b_cfg(d_params["layers"]["input_layernorm"].shape[0])
     ids = jnp.full((batch, prompt), 7, jnp.int32)
     mask = jnp.ones_like(ids)
     out, n, rounds = _spec_batch_jit(t_params, t_cfg, d_params, d_cfg,
-                                     ids, mask, new, k, -1)
+                                     ids, mask, new, k, -1, True)
     total, rounds = int(jnp.sum(n)), int(rounds)
     dt = _time_call(lambda: _spec_batch_jit(t_params, t_cfg, d_params,
                                             d_cfg, ids, mask, new, k,
-                                            -1)[0])
+                                            -1, True)[0])
     print(f"speculative-batch {label}: {total} tokens ({batch} rows) in "
           f"{rounds} rounds, {dt:.3f}s", file=sys.stderr)
     return total / dt

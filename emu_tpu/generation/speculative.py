@@ -34,17 +34,19 @@ import numpy as np
 from emu_tpu.models import llama
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 3, 5, 6, 7, 8))
 def _spec_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, max_new: int,
-              k: int, eos: int):
+              k: int, eos: int, kv_quant: bool = False):
     s = prompt_ids.shape[0]
     max_len = -(-(s + max_new + k + 2) // 8) * 8       # kernel-legal
     ids = prompt_ids[None]
     mask = jnp.ones((1, s), jnp.int32)
 
     cdt = t_params["norm"].dtype
-    t_cache = llama.init_cache(t_cfg, 1, max_len, dtype=cdt)
-    d_cache = llama.init_cache(d_cfg, 1, max_len, dtype=cdt)
+    t_cache = llama.init_cache(t_cfg, 1, max_len, dtype=cdt,
+                               quant=kv_quant)
+    d_cache = llama.init_cache(d_cfg, 1, max_len, dtype=cdt,
+                               quant=kv_quant)
     t_hidden, t_cache = llama.prefill(t_params, t_cfg,
                                       llama.embed(t_params, ids), mask,
                                       t_cache)
@@ -118,9 +120,10 @@ def _spec_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, max_new: int,
     return st[4], st[5], st[6]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 3, 6, 7, 8, 9))
 def _spec_batch_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, mask,
-                    max_new: int, k: int, eos: int):
+                    max_new: int, k: int, eos: int,
+                    kv_quant: bool = False):
     """Batched greedy speculative decode: per-row acceptance over the
     per-row-slot decode machinery.
 
@@ -139,8 +142,10 @@ def _spec_batch_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, mask,
     arange_len = jnp.arange(max_len)
 
     cdt = t_params["norm"].dtype
-    t_cache = llama.init_cache(t_cfg, b, max_len, dtype=cdt)
-    d_cache = llama.init_cache(d_cfg, b, max_len, dtype=cdt)
+    t_cache = llama.init_cache(t_cfg, b, max_len, dtype=cdt,
+                               quant=kv_quant)
+    d_cache = llama.init_cache(d_cfg, b, max_len, dtype=cdt,
+                               quant=kv_quant)
     t_hidden, t_cache = llama.prefill(t_params, t_cfg,
                                       llama.embed(t_params, prompt_ids),
                                       mask, t_cache)
@@ -225,6 +230,7 @@ def _spec_batch_jit(t_params, t_cfg, d_params, d_cfg, prompt_ids, mask,
 def speculative_generate_batch(t_params, t_cfg, d_params, d_cfg,
                                prompt_ids, attention_mask=None, *,
                                max_new: int, k: int = 4, eos: int = 2,
+                               kv_quant: bool = False,
                                return_rounds: bool = False):
     """Batched greedy speculative decode. prompt_ids [B, S] (left-pad
     with attention_mask like llama_generate). Returns a list of B token
@@ -238,7 +244,7 @@ def speculative_generate_batch(t_params, t_cfg, d_params, d_cfg,
     out, n, rounds = _spec_batch_jit(t_params, t_cfg, d_params, d_cfg,
                                      ids, jnp.asarray(attention_mask,
                                                       jnp.int32),
-                                     max_new, k, eos)
+                                     max_new, k, eos, kv_quant)
     out, n = np.asarray(out), np.asarray(n)
     res = []
     for row, cnt in zip(out, n):
@@ -251,6 +257,7 @@ def speculative_generate_batch(t_params, t_cfg, d_params, d_cfg,
 
 def speculative_generate(t_params, t_cfg, d_params, d_cfg, prompt_ids,
                          *, max_new: int, k: int = 4, eos: int = 2,
+                         kv_quant: bool = False,
                          return_rounds: bool = False):
     """Greedy speculative decode (B=1). Returns generated token ids.
 
@@ -261,7 +268,7 @@ def speculative_generate(t_params, t_cfg, d_params, d_cfg, prompt_ids,
     the measured mean acceptance (+1 correction token) per round."""
     out, n, rounds = _spec_jit(t_params, t_cfg, d_params, d_cfg,
                                jnp.asarray(prompt_ids, jnp.int32),
-                               max_new, k, eos)
+                               max_new, k, eos, kv_quant)
     toks = list(np.asarray(out)[:int(n)])
     if eos in toks:
         toks = toks[:toks.index(eos) + 1]

@@ -150,6 +150,24 @@ def test_spec_batch_full_acceptance_rounds():
     assert got[0] == solo, (got[0], solo)
 
 
+def test_spec_int8_kv_matches():
+    """kv_quant=True (int8 caches in both engines, consumed natively by
+    the decode paths) decodes the same greedy tokens on a tiny model —
+    B=1 and batched."""
+    tparams = llama.init(jax.random.PRNGKey(0), CFG)
+    dparams = llama.init(jax.random.PRNGKey(99), DRAFT_CFG)
+    prompt = [5, 17, 3, 42, 8]
+    base = speculative_generate(tparams, CFG, dparams, DRAFT_CFG, prompt,
+                                max_new=9, k=3, eos=96)
+    q = speculative_generate(tparams, CFG, dparams, DRAFT_CFG, prompt,
+                             max_new=9, k=3, eos=96, kv_quant=True)
+    assert q == base, (q, base)
+    ids = np.asarray([prompt, prompt], np.int32)
+    bq = speculative_generate_batch(tparams, CFG, dparams, DRAFT_CFG, ids,
+                                    max_new=9, k=3, eos=96, kv_quant=True)
+    assert bq == [base, base], (bq, base)
+
+
 def test_decode_chunk_matches_steps():
     """decode_chunk over q tokens == q sequential decode_steps."""
     params = llama.init(jax.random.PRNGKey(2), CFG)
