@@ -809,6 +809,10 @@ def main():
         run("Emu2-Gen e2e 1024^2 50-step Euler steady-state (cached "
             "CFG negative, the from-image-2 number)",
             functools.partial(bench_emu2_gen, steady=True), "images/min")
+        run("Emu2-Gen e2e 1024^2 50-step Euler steady-state int8 "
+            "decoder (the product --quantize int8 serving recipe)",
+            functools.partial(bench_emu2_gen, steady=True,
+                              quantize="int8"), "images/min")
 
     def caption_block():
         # one unit: the device-pre sibling reuses the base lane's slope
@@ -1273,7 +1277,7 @@ def bench_emu1_t2i(layers=8, steps=50):
     return 60.0 / dt_full
 
 
-def _emu2_gen_time(layers, steps, phases=False):
+def _emu2_gen_time(layers, steps, phases=False, quantize=None):
     """One full Emu2-Gen generation-mode call at the given decoder
     depth: 64-token visual regression through project_up/down + `steps`
     Euler denoise at 1024² (128² latents, CFG) + SDXL VAE + PIL (ref
@@ -1300,7 +1304,8 @@ def _emu2_gen_time(layers, steps, phases=False):
     pipe = EmuVisualGeneration(
         emu2_model.init(k1, emu_cfg, jnp.bfloat16), emu_cfg,
         unet.init(k2, unet_cfg, jnp.bfloat16), unet_cfg,
-        vae.init(k3, vae_cfg, jnp.bfloat16), vae_cfg)
+        vae.init(k3, vae_cfg, jnp.bfloat16), vae_cfg,
+        quantize=quantize)
 
     def once_uncached():
         pipe.negative_prompt.clear()   # pay the CFG negative every call
@@ -1344,28 +1349,32 @@ def _emu2_gen_time(layers, steps, phases=False):
 _EMU2_GEN_MEMO: dict = {}
 
 
-def bench_emu2_gen(layers=8, steps=50, steady=False):
+def bench_emu2_gen(layers=8, steps=50, steady=False, quantize=None):
     """Emu2-Gen end-to-end throughput (images/min): SURVEY §3.4 hot
     loops combined. Decoder depth-fits to 60 layers (33B never fits one
     chip — _emu2_33b_cfg); UNet/VAE/host in the fixed term. One depth
     sweep measures BOTH variants (each call times uncached + cached);
     the sibling lane reads the memoized fit instead of re-sweeping."""
-    key = "steady" if steady else "uncached"
+    key = (("steady" if steady else "uncached")
+           + (f"-{quantize}" if quantize else ""))
     if key not in _EMU2_GEN_MEMO:
         ts = {}
 
         def t(d):
-            tu, tc = _emu2_gen_time(d, steps, phases=(d == layers))
+            tu, tc = _emu2_gen_time(d, steps, phases=(d == layers),
+                                    quantize=quantize)
             ts[d] = (tu, tc)
             return tu
 
         depths = (layers, layers // 2, layers // 4)
-        dt_unc = _fit_depth(t, depths, 60, "emu2-gen")
+        tag = f"emu2-gen-{quantize}" if quantize else "emu2-gen"
+        dt_unc = _fit_depth(t, depths, 60, tag)
         fit_unc = dict(_LAST_FIT)
         dt_ss = _fit_depth(lambda d: ts[d][1], depths, 60,
-                           "emu2-gen-steady")
-        _EMU2_GEN_MEMO["uncached"] = (dt_unc, fit_unc)
-        _EMU2_GEN_MEMO["steady"] = (dt_ss, dict(_LAST_FIT))
+                           tag + "-steady")
+        suffix = f"-{quantize}" if quantize else ""
+        _EMU2_GEN_MEMO["uncached" + suffix] = (dt_unc, fit_unc)
+        _EMU2_GEN_MEMO["steady" + suffix] = (dt_ss, dict(_LAST_FIT))
     dt, fit = _EMU2_GEN_MEMO[key]
     _LAST_FIT.clear()
     _LAST_FIT.update(fit)
