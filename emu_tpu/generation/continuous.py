@@ -58,7 +58,8 @@ class ContinuousEngine:
                  max_len: int = 512, prefill_buckets=(32, 64, 128, 256),
                  eos_token_id: Optional[int] = 2, temperature: float = 0.0,
                  cache_dtype=None, kv_cache_quant: bool = False,
-                 chunk_size: Optional[int] = None, seed: int = 0):
+                 chunk_size: Optional[int] = None, seed: int = 0,
+                 per_request_sampling: bool = False):
         self.params, self.cfg = params, cfg
         # 8-multiple capacity keeps the Pallas decode kernel eligible
         max_len = -(-max_len // 8) * 8
@@ -67,6 +68,13 @@ class ContinuousEngine:
                                     if b <= max_len))
         self.eos = -1 if eos_token_id is None else int(eos_token_id)
         self.temperature = float(temperature)
+        # per_request_sampling: submit(..., temperature=t) overrides the
+        # pool default per slot (a per-row temperature plane in state;
+        # greedy rows take jnp.where's argmax arm). Static at engine
+        # construction so pure-greedy pools keep the smaller step
+        # program (no gumbel chain on the launch-bound decode path).
+        self.sampling = per_request_sampling or self.temperature > 0
+        self.per_request_sampling = per_request_sampling
         # chunked (Sarathi-style) admission: prompts longer than the
         # largest prefill bucket stream into their slot chunk_size tokens
         # per MIXED step, interleaved with every other slot's decode —
@@ -92,6 +100,8 @@ class ContinuousEngine:
             "active": jnp.zeros((max_slots,), bool),
             "n_generated": jnp.zeros((max_slots,), jnp.int32),
             "max_new": jnp.zeros((max_slots,), jnp.int32),
+            "temperature": jnp.full((max_slots,), self.temperature,
+                                    jnp.float32),
         }
 
     # -- jitted programs ----------------------------------------------------
@@ -102,6 +112,21 @@ class ContinuousEngine:
     # HBM next to full-depth weights (the r5 serving-lane OOM). The
     # engine always replaces self.state with the result, so the donated
     # buffers are never re-read.
+    def _sample(self, logits, temps, rng):
+        """Per-row next token: sampled where temps > 0, greedy otherwise
+        (temps is a row vector or a scalar)."""
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if not self.sampling:
+            return greedy
+        t = jnp.maximum(jnp.asarray(temps, jnp.float32), 1e-6)
+        if logits.ndim == 1:
+            sampled = jax.random.categorical(rng, logits / t)
+        else:
+            sampled = jax.random.categorical(
+                rng, logits / t[..., None], axis=-1)
+        return jnp.where(jnp.asarray(temps) > 0,
+                         sampled.astype(jnp.int32), greedy)
+
     def _step_body(self, params, state, rng):
         cfg = self.cfg
         st = dict(state)
@@ -116,11 +141,7 @@ class ContinuousEngine:
             params, cfg, st["cache"], embeds, slots, slot_mask,
             st["position"])
         logits = llama.logits(params, hidden[:, 0])
-        if self.temperature > 0:
-            nxt = jax.random.categorical(rng, logits / self.temperature,
-                                         axis=-1).astype(jnp.int32)
-        else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = self._sample(logits, st["temperature"], rng)
         n_gen = st["n_generated"] + active
         out_tok = jnp.where(active, nxt, 0)
         still = active & (nxt != self.eos) & (n_gen < st["max_new"])
@@ -155,7 +176,7 @@ class ContinuousEngine:
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _mixed_jit(self, params, state, chunk_emb, admit_slot, qlen,
-                   final, max_new_admit, rng):
+                   final, max_new_admit, temp_admit, rng):
         """One MIXED step (chunked prefill): every active slot decodes
         its next token (q column 0) while `admit_slot` consumes `qlen`
         prompt tokens of `chunk_emb` [q, D]; when `final`, the admitting
@@ -178,11 +199,8 @@ class ContinuousEngine:
                                              st["position"])
         qidx = jnp.where(is_admit, qlen - 1, 0)
         logits = llama.logits(params, hid[bidx, qidx])
-        if self.temperature > 0:
-            nxt = jax.random.categorical(rng, logits / self.temperature,
-                                         axis=-1).astype(jnp.int32)
-        else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temps = jnp.where(is_admit, temp_admit, st["temperature"])
+        nxt = self._sample(logits, temps, rng)
 
         # decode-row bookkeeping (identical to _step_jit)
         n_gen = st["n_generated"] + active
@@ -208,12 +226,14 @@ class ContinuousEngine:
             active=jnp.where(is_admit, admit_alive, still),
             n_generated=jnp.where(is_admit,
                                   jnp.where(final, 1, 0), n_gen),
-            max_new=jnp.where(is_admit, max_new_admit, st["max_new"]))
+            max_new=jnp.where(is_admit, max_new_admit, st["max_new"]),
+            temperature=jnp.where(is_admit, temp_admit,
+                                  st["temperature"]))
         return st, out_tok, active, first
 
     @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
     def _prefill_jit(self, params, state, embeds, mask, s_bucket, slot,
-                     max_new, rng):
+                     max_new, temp, rng):
         cfg = self.cfg
         st = dict(state)
         small = llama.init_cache(cfg, 1, s_bucket,
@@ -221,11 +241,7 @@ class ContinuousEngine:
                                  quant="k_scale" in st["cache"])
         hidden, small = llama.prefill(params, cfg, embeds, mask, small)
         logits = llama.logits(params, hidden[:, -1])[0]
-        if self.temperature > 0:
-            first = jax.random.categorical(
-                rng, logits / self.temperature).astype(jnp.int32)
-        else:
-            first = jnp.argmax(logits).astype(jnp.int32)
+        first = self._sample(logits, temp, rng)
         # scale planes (int8 KV) merge alongside the value planes; the
         # index tuple adapts to each plane's rank
         cache = {
@@ -246,6 +262,7 @@ class ContinuousEngine:
             active=st["active"].at[slot].set(alive),
             n_generated=st["n_generated"].at[slot].set(1),
             max_new=st["max_new"].at[slot].set(max_new),
+            temperature=st["temperature"].at[slot].set(temp),
         )
         return st, first
 
@@ -254,7 +271,19 @@ class ContinuousEngine:
     def free_slots(self) -> int:
         return sum(r is None for r in self.slot_req)
 
-    def submit(self, inputs_embeds, attention_mask, max_new: int) -> int:
+    def _effective_temp(self, temperature) -> float:
+        if temperature is None:
+            return self.temperature
+        t = float(temperature)
+        if t > 0 and not self.sampling:
+            raise ValueError(
+                "engine compiled greedy-only; construct with "
+                "per_request_sampling=True (or a pool temperature > 0) "
+                "to accept sampled requests")
+        return t
+
+    def submit(self, inputs_embeds, attention_mask, max_new: int,
+               temperature: Optional[float] = None) -> int:
         """Admit one request (embeds [1, S, D], mask [1, S]). Returns id.
 
         Prompts within the prefill buckets run one dedicated prefill; the
@@ -263,12 +292,14 @@ class ContinuousEngine:
         as a CHUNKED admission instead: step() streams them into the slot
         chunk_size tokens per mixed step while every other slot keeps
         decoding (no prefill stall), and the first token arrives with the
-        final chunk."""
+        final chunk. `temperature` overrides the pool default for this
+        request (needs per_request_sampling=True; 0 = greedy row)."""
         slot = self.slot_req.index(None)   # raises ValueError when full
+        temp = self._effective_temp(temperature)
         s = inputs_embeds.shape[1]
         if self.chunk_size and s > self.buckets[-1]:
             return self._submit_chunked(slot, inputs_embeds,
-                                        attention_mask, max_new)
+                                        attention_mask, max_new, temp)
         s_b = _bucket(s, self.buckets)
         if s_b + max_new > self.max_len:
             raise ValueError("prompt bucket + max_new exceeds max_len")
@@ -278,7 +309,7 @@ class ContinuousEngine:
         self._rng, sub = jax.random.split(self._rng)
         self.state, first = self._prefill_jit(
             self.params, self.state, embeds, mask, s_b, slot,
-            jnp.int32(max_new), sub)
+            jnp.int32(max_new), jnp.float32(temp), sub)
         req = _Request(next(self._ids), s, max_new)
         first = int(first)
         req.tokens.append(first)
@@ -290,7 +321,7 @@ class ContinuousEngine:
         return req.req_id
 
     def _submit_chunked(self, slot: int, inputs_embeds, attention_mask,
-                        max_new: int) -> int:
+                        max_new: int, temp: float = 0.0) -> int:
         import numpy as np
         valid = np.asarray(attention_mask[0]).astype(bool)
         emb = np.asarray(inputs_embeds[0])[valid]        # drop padding
@@ -308,7 +339,8 @@ class ContinuousEngine:
         self.requests[req.req_id] = req
         self.slot_req[slot] = req.req_id      # reserve through admission
         self._admissions.append({"req": req, "slot": slot, "embeds": emb,
-                                 "offset": 0, "max_new": max_new})
+                                 "offset": 0, "max_new": max_new,
+                                 "temp": temp})
         return req.req_id
 
     def _step_mixed(self) -> int:
@@ -326,7 +358,7 @@ class ContinuousEngine:
         self.state, out_tok, was_active, first = self._mixed_jit(
             self.params, self.state, jnp.asarray(chunk),
             jnp.int32(a["slot"]), jnp.int32(qlen), final,
-            jnp.int32(a["max_new"]), sub)
+            jnp.int32(a["max_new"]), jnp.float32(a.get("temp", 0.0)), sub)
         advanced = self._record(out_tok, was_active)
         a["offset"] += qlen
         if final:

@@ -61,6 +61,10 @@ def main():
     p.add_argument("--kv_quant", action="store_true",
                    help="with --continuous: int8 KV cache (2x context "
                         "capacity per chip)")
+    p.add_argument("--sampling", action="store_true",
+                   help="with --continuous: honor each request's "
+                        "do_sample/temperature form fields (per-slot "
+                        "temperature plane; greedy rows stay exact)")
     p.add_argument("--block_steps", type=int, default=8,
                    help="with --continuous: decode N steps per compiled "
                         "block with the host fetch double-buffered "
@@ -124,7 +128,8 @@ def main():
                 build(0), max_slots=args.max_slots, max_len=args.max_len,
                 draft=draft, kv_cache_quant=args.kv_quant,
                 chunk_size=args.chunked_prefill,
-                block_steps=args.block_steps)
+                block_steps=args.block_steps,
+                per_request_sampling=args.sampling)
         elif args.batching:
             from emu_tpu.serving.batching import BatchingChatHelper
             chat_helper = BatchingChatHelper(build(0))

@@ -9,9 +9,12 @@ slots between decode steps and retires finished ones immediately, so a
 3-token request never queues behind a 512-token one (no head-of-line
 blocking — asserted by tests/test_serving.py over real HTTP).
 
-Continuous mode decodes greedily (the slot engine's sampling unit is the
-whole pool, so per-request beam/top-p knobs don't apply); requests that
-need beam search belong on the plain Helper/Batching backends.
+Continuous mode decodes greedily by default; with
+`per_request_sampling=True` the engine keeps a per-slot temperature
+plane and each request's `do_sample`/`temperature` form fields apply to
+its own rows (greedy rows in the same pool stay exactly greedy).
+Per-request beam search still doesn't apply — requests that need beams
+belong on the plain Helper/Batching backends.
 
 Speculative decoding is opt-in per request (`speculative=true` form
 field): text-only prompts run draft-propose + single-pass target-verify
@@ -45,7 +48,8 @@ class ContinuousChatHelper:
                  draft: Optional[Tuple[dict, object]] = None,
                  spec_k: int = 4, poll_s: float = 0.05,
                  kv_cache_quant: bool = False,
-                 chunk_size: Optional[int] = None, block_steps: int = 8):
+                 chunk_size: Optional[int] = None, block_steps: int = 8,
+                 per_request_sampling: bool = False):
         from emu_tpu.generation.continuous import ContinuousEngine
         self.pipeline = pipeline
         tok = pipeline.tokenizer
@@ -53,7 +57,8 @@ class ContinuousChatHelper:
             pipeline.params["decoder"], pipeline.cfg.llama,
             max_slots=max_slots, max_len=max_len,
             eos_token_id=tok.eos_token_id,
-            kv_cache_quant=kv_cache_quant, chunk_size=chunk_size)
+            kv_cache_quant=kv_cache_quant, chunk_size=chunk_size,
+            per_request_sampling=per_request_sampling)
         # block_steps > 1: decode in step_block programs with the fetch
         # of block i overlapping block i+1 (one dispatch + one deferred
         # host round-trip per block_steps tokens — the measured serving
@@ -89,8 +94,13 @@ class ContinuousChatHelper:
         try:
             embeds, mask, _ = self.pipeline.embed_inputs(
                 inputs, kwargs.get("is_grounding", False))
+            temp = None
+            if self.engine.per_request_sampling:
+                temp = (float(kwargs.get("temperature", 0.7))
+                        if kwargs.get("do_sample") else 0.0)
             rid = self.engine.submit(embeds, mask,
-                                     int(kwargs.get("max_new_tokens", 10)))
+                                     int(kwargs.get("max_new_tokens", 10)),
+                                     temperature=temp)
             self.waiting[rid] = fut
         except Exception as ex:  # noqa: BLE001
             fut.set_exception(ex)

@@ -240,3 +240,53 @@ def test_chunked_prefill_int8_kv():
     # int8 quantization can in principle flip near-ties, but on this
     # model the stream matches the full-precision oracle exactly
     assert res[rid] == want, (res[rid], want)
+
+
+def test_per_request_temperature():
+    """per_request_sampling=True: a temperature=0 row in a mixed pool
+    still decodes the exact greedy oracle while a sampled row shares the
+    same jitted step; a greedy-only engine rejects sampled submits."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(13)
+    g_prompt = list(rng.randint(1, 90, 7))
+    s_prompt = list(rng.randint(1, 90, 9))
+    want_greedy = _oracle(params, embeds_for(g_prompt), 10, eos)
+
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=eos,
+                           per_request_sampling=True)
+    rid_g = eng.submit(embeds_for(g_prompt), jnp.ones((1, 7), jnp.int32),
+                       10, temperature=0.0)
+    rid_s = eng.submit(embeds_for(s_prompt), jnp.ones((1, 9), jnp.int32),
+                       10, temperature=1.0)
+    res = eng.run_until_drained()
+    assert res[rid_g] == want_greedy, (res[rid_g], want_greedy)
+    assert 1 <= len(res[rid_s]) <= 10
+
+    greedy_eng = ContinuousEngine(params, CFG, max_slots=1, max_len=64,
+                                  prefill_buckets=(8,), eos_token_id=eos)
+    try:
+        greedy_eng.submit(embeds_for(g_prompt), jnp.ones((1, 7), jnp.int32),
+                          4, temperature=0.7)
+        assert False, "greedy-only engine must reject sampled submits"
+    except ValueError:
+        pass
+
+
+def test_per_request_temperature_chunked():
+    """A sampled request admitted through the CHUNKED path carries its
+    temperature into the mixed step, and a greedy chunked admission in a
+    sampling-capable engine still matches the oracle."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(17)
+    long = list(rng.randint(1, 90, 21))
+    want = _oracle(params, embeds_for(long), 6, eos)
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=eos,
+                           chunk_size=8, per_request_sampling=True)
+    rid = eng.submit(embeds_for(long), jnp.ones((1, 21), jnp.int32), 6,
+                     temperature=0.0)
+    res = eng.run_until_drained()
+    assert res[rid] == want, (res[rid], want)

@@ -235,7 +235,7 @@ def continuous_port():
     dcfg = dataclasses.replace(cfg.llama, num_hidden_layers=1)
     draft = (llama.init(jax.random.PRNGKey(7), dcfg), dcfg)
     helper = ContinuousChatHelper(chat, max_slots=4, max_len=256,
-                                  draft=draft)
+                                  draft=draft, per_request_sampling=True)
 
     server = EmuHTTPServer(helper, None)
     httpd = make_server(server, "127.0.0.1", 0)
@@ -308,3 +308,23 @@ def test_continuous_speculative_image_falls_back(continuous_port):
                 {"img0": _png_bytes()})
     assert res["code"] == 0
     assert isinstance(res["data"], str)
+
+
+def test_continuous_per_request_sampling(continuous_port):
+    """do_sample=true applies this request's temperature to its own slot
+    only: the sampled request succeeds, and a concurrent greedy request
+    still returns the engine's exact greedy text (per-row temperature
+    plane, not pool-global)."""
+    fields = {"prompt": json.dumps([["TEXT", "tell me about emus"]]),
+              "max_new_tokens": "6"}
+    greedy_before = _post(continuous_port, "/v1/mmc",
+                          {**fields, "log_id": "g0"}, {})
+    sampled = _post(continuous_port, "/v1/mmc",
+                    {**fields, "log_id": "s0", "do_sample": "true",
+                     "temperature": "1.5"}, {})
+    greedy_after = _post(continuous_port, "/v1/mmc",
+                         {**fields, "log_id": "g1"}, {})
+    assert greedy_before["code"] == sampled["code"] == 0
+    assert greedy_after["code"] == 0
+    assert isinstance(sampled["data"], str)
+    assert greedy_after["data"] == greedy_before["data"]
