@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -87,6 +86,13 @@ class ContinuousEngine:
         self._ids = itertools.count()
         self.requests: Dict[int, _Request] = {}
         self.slot_req: List[Optional[int]] = [None] * max_slots
+        # per-slot admission generation: step_block snapshots these at
+        # dispatch so record_block can tell whether a block's rows
+        # belong to the slot's CURRENT request (double buffering records
+        # block i after dispatching block i+1 — a slot retired and
+        # readmitted in between must not have the stale block's
+        # active/still flags applied to the new request)
+        self._slot_gen: List[int] = [0] * max_slots
         if cache_dtype is None:
             cache_dtype = params["norm"].dtype
         self.state = {
@@ -103,6 +109,21 @@ class ContinuousEngine:
             "temperature": jnp.full((max_slots,), self.temperature,
                                     jnp.float32),
         }
+        # PER-INSTANCE jit wrappers: a class-level @jax.jit with self as
+        # a static argnum keys the GLOBAL jit cache on the engine
+        # instance — every engine ever constructed (serving restarts,
+        # bench warmups) stays strongly referenced by that cache along
+        # with its final donated state (the multi-GB KV planes). Binding
+        # the jits here scopes each engine's executables and retained
+        # buffers to the engine's own lifetime: drop the engine, free
+        # the HBM (the r5 serving-lane RESOURCE_EXHAUSTED).
+        self._step_jit = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._block_jit = jax.jit(self._block_impl, static_argnums=(1,),
+                                  donate_argnums=(2,))
+        self._mixed_jit = jax.jit(self._mixed_impl, donate_argnums=(1,))
+        self._prefill_jit = jax.jit(self._prefill_impl,
+                                    static_argnums=(4,),
+                                    donate_argnums=(1,))
 
     # -- jitted programs ----------------------------------------------------
 
@@ -152,12 +173,10 @@ class ContinuousEngine:
                   active=still, n_generated=n_gen)
         return st, out_tok, active
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_jit(self, params, state, rng):
+    def _step_impl(self, params, state, rng):
         return self._step_body(params, state, rng)
 
-    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(3,))
-    def _block_jit(self, params, n_steps, state, rng):
+    def _block_impl(self, params, n_steps, state, rng):
         """`n_steps` decode steps as ONE compiled program (lax.scan over
         the step body). One dispatch + one host fetch per n tokens: on
         dispatch-latency-bound backends (the tunneled chip charges ~20 µs
@@ -174,9 +193,8 @@ class ContinuousEngine:
             body, state, jax.random.split(rng, n_steps))
         return st, toks, actives, st["active"]
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _mixed_jit(self, params, state, chunk_emb, admit_slot, qlen,
-                   final, max_new_admit, temp_admit, rng):
+    def _mixed_impl(self, params, state, chunk_emb, admit_slot, qlen,
+                    final, max_new_admit, temp_admit, rng):
         """One MIXED step (chunked prefill): every active slot decodes
         its next token (q column 0) while `admit_slot` consumes `qlen`
         prompt tokens of `chunk_emb` [q, D]; when `final`, the admitting
@@ -231,42 +249,64 @@ class ContinuousEngine:
                                   st["temperature"]))
         return st, out_tok, active, first
 
-    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
-    def _prefill_jit(self, params, state, embeds, mask, s_bucket, slot,
-                     max_new, temp, rng):
+    def _prefill_impl(self, params, state, embeds, mask, s_bucket, slots,
+                      max_new, temp, valid, rng):
+        """BATCHED prefill admission: embeds [p, s_bucket, D] admits p
+        rows into `slots` [p] in one program — one dispatch and one
+        compute-bound prefill for a whole arrival burst instead of p
+        serial single-row prefills (prefill at these prompt lengths is
+        MXU-bound, so p rows cost barely more than one). Pad rows
+        (valid=False) DUPLICATE row 0 — first is forced to first[0] for
+        them, so every duplicate scatter write carries identical values
+        and slot 0 stays deterministic even under sampling."""
         cfg = self.cfg
         st = dict(state)
-        small = llama.init_cache(cfg, 1, s_bucket,
+        p = embeds.shape[0]
+        small = llama.init_cache(cfg, p, s_bucket,
                                  dtype=st["cache"]["k"].dtype,
                                  quant="k_scale" in st["cache"])
         hidden, small = llama.prefill(params, cfg, embeds, mask, small)
-        logits = llama.logits(params, hidden[:, -1])[0]
+        logits = llama.logits(params, hidden[:, -1])
         first = self._sample(logits, temp, rng)
+        first = jnp.where(valid, first, first[0])
         # scale planes (int8 KV) merge alongside the value planes; the
-        # index tuple adapts to each plane's rank
-        cache = {
-            n: jax.lax.dynamic_update_slice(
-                st["cache"][n], small[n],
-                (0, slot) + (0,) * (st["cache"][n].ndim - 2))
-            for n in small}
-        row_mask = jnp.zeros((self.max_len,), bool).at[:s_bucket].set(
-            mask[0].astype(bool))
+        # tail slices adapt to each plane's rank
+        cache = {}
+        for n, plane in st["cache"].items():
+            tails = tuple(slice(0, s) for s in small[n].shape[2:])
+            cache[n] = plane.at[(slice(None), slots) + tails].set(small[n])
+        row_mask = jnp.zeros((p, self.max_len), bool).at[:, :s_bucket].set(
+            mask.astype(bool))
         alive = (first != self.eos) & (max_new > 1)
         st.update(
             cache=cache,
-            slot_mask=st["slot_mask"].at[slot].set(row_mask),
-            write_idx=st["write_idx"].at[slot].set(s_bucket),
-            position=st["position"].at[slot].set(
-                jnp.sum(mask[0].astype(jnp.int32))),
-            last_token=st["last_token"].at[slot].set(first),
-            active=st["active"].at[slot].set(alive),
-            n_generated=st["n_generated"].at[slot].set(1),
-            max_new=st["max_new"].at[slot].set(max_new),
-            temperature=st["temperature"].at[slot].set(temp),
+            slot_mask=st["slot_mask"].at[slots].set(row_mask),
+            write_idx=st["write_idx"].at[slots].set(
+                jnp.full((p,), s_bucket, jnp.int32)),
+            position=st["position"].at[slots].set(
+                jnp.sum(mask.astype(jnp.int32), axis=1)),
+            last_token=st["last_token"].at[slots].set(first),
+            active=st["active"].at[slots].set(alive),
+            n_generated=st["n_generated"].at[slots].set(
+                jnp.ones((p,), jnp.int32)),
+            max_new=st["max_new"].at[slots].set(max_new),
+            temperature=st["temperature"].at[slots].set(temp),
         )
         return st, first
 
     # -- public API ----------------------------------------------------------
+
+    def close(self):
+        """Release device buffers and compiled programs now. Engines
+        also free on garbage collection, but the per-instance jit
+        wrappers form a reference cycle with the instance (self -> jit
+        -> bound method -> self) that waits on the cycle collector;
+        close() breaks it so the KV planes leave HBM deterministically
+        (serving restarts, bench re-runs)."""
+        for name in ("_step_jit", "_block_jit", "_mixed_jit",
+                     "_prefill_jit"):
+            setattr(self, name, None)
+        self.state = None
 
     def free_slots(self) -> int:
         return sum(r is None for r in self.slot_req)
@@ -300,25 +340,87 @@ class ContinuousEngine:
         if self.chunk_size and s > self.buckets[-1]:
             return self._submit_chunked(slot, inputs_embeds,
                                         attention_mask, max_new, temp)
-        s_b = _bucket(s, self.buckets)
-        if s_b + max_new > self.max_len:
-            raise ValueError("prompt bucket + max_new exceeds max_len")
-        pad = s_b - s
-        embeds = jnp.pad(inputs_embeds, ((0, 0), (pad, 0), (0, 0)))
-        mask = jnp.pad(attention_mask, ((0, 0), (pad, 0)))
-        self._rng, sub = jax.random.split(self._rng)
-        self.state, first = self._prefill_jit(
-            self.params, self.state, embeds, mask, s_b, slot,
-            jnp.int32(max_new), jnp.float32(temp), sub)
-        req = _Request(next(self._ids), s, max_new)
-        first = int(first)
+        first, req = self._prefill_rows(
+            [(inputs_embeds, attention_mask, max_new, temp)], [slot])
+        req, first = req[0], int(first[0])
         req.tokens.append(first)
         if first == self.eos or max_new <= 1:
             req.done = True
         else:
             self.slot_req[slot] = req.req_id
-        self.requests[req.req_id] = req
         return req.req_id
+
+    def submit_many(self, reqs) -> List[int]:
+        """Admit several requests at once: (embeds, mask, max_new[,
+        temperature]) tuples, at most free_slots() of them. One BATCHED
+        prefill program runs per prompt bucket, and no first-token host
+        fetch happens here — first tokens stay on device until the next
+        record (submit() costs a blocking ~25ms+ fetch per call on the
+        tunnel; a serving dispatcher admitting an arrival burst should
+        use this). Chunked admissions (prompts beyond the buckets, with
+        chunk_size set) fall through to their streaming path."""
+        if len(reqs) > self.free_slots():
+            raise ValueError(f"{len(reqs)} requests > {self.free_slots()} "
+                             "free slots")
+        ids: List[Optional[int]] = [None] * len(reqs)
+        groups: Dict[int, List] = {}
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        for j, r in enumerate(reqs):
+            embeds, mask, max_new = r[:3]
+            temp = self._effective_temp(r[3] if len(r) > 3 else None)
+            s = embeds.shape[1]
+            if self.chunk_size and s > self.buckets[-1]:
+                ids[j] = self._submit_chunked(
+                    free.pop(0), embeds, mask, max_new, temp)
+                continue
+            groups.setdefault(_bucket(s, self.buckets), []).append(
+                (j, (embeds, mask, max_new, temp)))
+        for s_b, group in groups.items():
+            slots = [free.pop(0) for _ in group]
+            firsts, group_reqs = self._prefill_rows(
+                [row for _, row in group], slots)
+            for i, (req, slot) in enumerate(zip(group_reqs, slots)):
+                req.tokens.append(firsts[i])    # device scalar: deferred
+                self.slot_req[slot] = req.req_id
+                ids[group[i][0]] = req.req_id
+        return ids
+
+    def _prefill_rows(self, group, slots):
+        """Shared batched-prefill dispatch: pad the group to a power-of
+        -two row count by duplicating row 0, run one prefill program,
+        return (firsts [p], requests). Bumps each slot's generation."""
+        s_b = _bucket(max(e.shape[1] for e, *_ in group), self.buckets)
+        n = len(group)
+        p = 1 << (n - 1).bit_length()
+        rows, masks, max_news, temps = [], [], [], []
+        for embeds, mask, max_new, temp in group:
+            if s_b + max_new > self.max_len:
+                raise ValueError("prompt bucket + max_new exceeds max_len")
+            pad = s_b - embeds.shape[1]
+            rows.append(jnp.pad(embeds, ((0, 0), (pad, 0), (0, 0)))[0])
+            masks.append(jnp.pad(mask, ((0, 0), (pad, 0)))[0])
+            max_news.append(max_new)
+            temps.append(temp)
+        for _ in range(p - n):                   # duplicate row 0
+            rows.append(rows[0])
+            masks.append(masks[0])
+            max_news.append(max_news[0])
+            temps.append(temps[0])
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, firsts = self._prefill_jit(
+            self.params, self.state, jnp.stack(rows), jnp.stack(masks),
+            s_b,
+            jnp.asarray(list(slots) + [slots[0]] * (p - n), jnp.int32),
+            jnp.asarray(max_news, jnp.int32),
+            jnp.asarray(temps, jnp.float32),
+            jnp.asarray([i < n for i in range(p)]), sub)
+        group_reqs = []
+        for (embeds, _, max_new, _), slot in zip(group, slots):
+            req = _Request(next(self._ids), embeds.shape[1], max_new)
+            self.requests[req.req_id] = req
+            self._slot_gen[slot] += 1
+            group_reqs.append(req)
+        return firsts, group_reqs
 
     def _submit_chunked(self, slot: int, inputs_embeds, attention_mask,
                         max_new: int, temp: float = 0.0) -> int:
@@ -337,6 +439,7 @@ class ContinuousEngine:
         self.state = st
         req = _Request(next(self._ids), s, max_new)
         self.requests[req.req_id] = req
+        self._slot_gen[slot] += 1
         self.slot_req[slot] = req.req_id      # reserve through admission
         self._admissions.append({"req": req, "slot": slot, "embeds": emb,
                                  "offset": 0, "max_new": max_new,
@@ -379,11 +482,17 @@ class ContinuousEngine:
         still = np.asarray(self.state["active"])
         advanced = 0
         for slot, rid in enumerate(self.slot_req):
-            if rid is None or not was_active[slot]:
+            if rid is None:
                 continue
-            advanced += 1
             req = self.requests[rid]
-            req.tokens.append(int(out_tok[slot]))
+            if was_active[slot]:
+                advanced += 1
+                req.tokens.append(int(out_tok[slot]))
+            elif not req.tokens:
+                continue    # chunked admission still streaming its prompt
+            # a deferred admission (submit_many) whose first token was
+            # EOS (or max_new <= 1) was never active: `still` is current
+            # state here (sync path), so retire it now
             if not still[slot]:
                 req.done = True
                 self.slot_req[slot] = None
@@ -413,33 +522,40 @@ class ContinuousEngine:
         self._rng, sub = jax.random.split(self._rng)
         self.state, toks, actives, still = self._block_jit(
             self.params, n_steps, self.state, sub)
-        return toks, actives, still
+        return toks, actives, still, tuple(self._slot_gen)
 
     def record_block(self, block) -> int:
         """Fetch + bookkeep one step_block result: append each advanced
         slot's tokens, retire slots that finished within the block.
-        Returns the number of (slot, step) advances recorded."""
-        toks, actives, still = (np.asarray(x) for x in block)
+        Returns the number of (slot, step) advances recorded. Only slots
+        whose admission generation matches the block's dispatch-time
+        snapshot are touched — a stale double-buffered block must not
+        retire a request admitted after it was dispatched."""
+        toks, actives, still = (np.asarray(x) for x in block[:3])
+        gens = block[3]
         advanced = 0
         for slot, rid in enumerate(self.slot_req):
-            if rid is None:
-                continue
-            live = actives[:, slot]
-            if not live.any():
+            if rid is None or gens[slot] != self._slot_gen[slot]:
                 continue
             req = self.requests[rid]
-            req.tokens.extend(int(t) for t in toks[live, slot])
-            advanced += int(live.sum())
+            live = actives[:, slot]
+            if live.any():
+                req.tokens.extend(int(t) for t in toks[live, slot])
+                advanced += int(live.sum())
+            # gen match ⇒ this block ran after the admission, so `still`
+            # speaks for the current request — including a deferred
+            # admission that EOS'd on its first token (never active)
             if not still[slot]:
                 req.done = True
                 self.slot_req[slot] = None
         return advanced
 
     def finished(self) -> Dict[int, List[int]]:
-        """Drain completed requests: {req_id: generated token ids}."""
+        """Drain completed requests: {req_id: generated token ids}.
+        Deferred first tokens (submit_many) materialize here."""
         out = {}
         for rid in [r for r, q in self.requests.items() if q.done]:
-            out[rid] = self.requests.pop(rid).tokens
+            out[rid] = [int(t) for t in self.requests.pop(rid).tokens]
         return out
 
     def run_until_drained(self, max_steps: int = 10_000):

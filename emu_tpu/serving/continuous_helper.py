@@ -89,21 +89,35 @@ class ContinuousChatHelper:
 
     # dispatcher ------------------------------------------------------------
 
-    def _admit(self, item):
-        fut, inputs, kwargs = item
+    def _admit(self, items):
+        """Admit an arrival burst in ONE batched prefill program
+        (submit_many: deferred first-token fetch, one dispatch per
+        prompt bucket). Per-request embed failures fail only their own
+        future."""
+        rows, futs = [], []
+        for fut, inputs, kwargs in items:
+            try:
+                embeds, mask, _ = self.pipeline.embed_inputs(
+                    inputs, kwargs.get("is_grounding", False))
+                temp = None
+                if self.engine.per_request_sampling:
+                    temp = (float(kwargs.get("temperature", 0.7))
+                            if kwargs.get("do_sample") else 0.0)
+                rows.append((embeds, mask,
+                             int(kwargs.get("max_new_tokens", 10)), temp))
+                futs.append(fut)
+            except Exception as ex:  # noqa: BLE001
+                fut.set_exception(ex)
+        if not rows:
+            return
         try:
-            embeds, mask, _ = self.pipeline.embed_inputs(
-                inputs, kwargs.get("is_grounding", False))
-            temp = None
-            if self.engine.per_request_sampling:
-                temp = (float(kwargs.get("temperature", 0.7))
-                        if kwargs.get("do_sample") else 0.0)
-            rid = self.engine.submit(embeds, mask,
-                                     int(kwargs.get("max_new_tokens", 10)),
-                                     temperature=temp)
-            self.waiting[rid] = fut
+            rids = self.engine.submit_many(rows)
         except Exception as ex:  # noqa: BLE001
-            fut.set_exception(ex)
+            for fut in futs:
+                fut.set_exception(ex)
+            return
+        for rid, fut in zip(rids, futs):
+            self.waiting[rid] = fut
 
     def _resolve_finished(self):
         for rid, toks in self.engine.finished().items():
@@ -129,11 +143,14 @@ class ContinuousChatHelper:
         pending_blk = None
         while not self._stop:
             try:
-                while self.engine.free_slots() > 0:
+                burst = []
+                while len(burst) < self.engine.free_slots():
                     try:
-                        self._admit(self.pending.get_nowait())
+                        burst.append(self.pending.get_nowait())
                     except queue.Empty:
                         break
+                if burst:
+                    self._admit(burst)
                 if getattr(self.engine, "_admissions", None):
                     # chunked prefills stream through single MIXED steps
                     self.engine.step()
@@ -156,7 +173,7 @@ class ContinuousChatHelper:
                     continue
                 self._resolve_finished()    # submit-time completions
                 try:
-                    self._admit(self.pending.get(timeout=self.poll_s))
+                    self._admit([self.pending.get(timeout=self.poll_s)])
                 except queue.Empty:
                     pass
             except Exception as ex:  # noqa: BLE001 — never kill the thread

@@ -290,3 +290,98 @@ def test_per_request_temperature_chunked():
                      temperature=0.0)
     res = eng.run_until_drained()
     assert res[rid] == want, (res[rid], want)
+
+
+def test_engine_frees_on_close():
+    """Dropping a closed engine must release it: with the old class-level
+    @jax.jit(static self) programs, the GLOBAL jit cache pinned every
+    engine instance (and its donated KV state) forever — the r5
+    serving-lane OOM. Per-instance jits + close() scope executables to
+    the engine's lifetime."""
+    import gc
+    import weakref
+
+    params, embeds_for = _setup()
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=32,
+                           prefill_buckets=(8,), eos_token_id=None)
+    eng.submit(embeds_for([3, 5]), jnp.ones((1, 2), jnp.int32), 3)
+    eng.run_until_drained()
+    ref = weakref.ref(eng)
+    eng.close()
+    del eng
+    gc.collect()
+    assert ref() is None, "engine still referenced after close()+del"
+
+
+def test_submit_many_matches_oracle():
+    """Batched admission (one prefill program per bucket, padded to a
+    power of two by duplicating row 0, first-token fetch deferred)
+    decodes exactly what each request would get alone — including a
+    group of 3 (pad row exercised) spanning two prompt buckets."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(21)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 7, 19)]
+    oracle = [_oracle(params, embeds_for(p), 10, eos) for p in prompts]
+
+    eng = ContinuousEngine(params, CFG, max_slots=4, max_len=64,
+                           prefill_buckets=(8, 32), eos_token_id=eos)
+    ids = eng.submit_many([(embeds_for(p),
+                            jnp.ones((1, len(p)), jnp.int32), 10)
+                           for p in prompts])
+    res = eng.run_until_drained()
+    assert set(res) == set(ids)
+    for rid, want in zip(ids, oracle):
+        assert res[rid] == want, (res[rid], want)
+
+
+def test_submit_many_block_path_and_refill():
+    """submit_many + step_block double buffering: deferred first tokens,
+    gen-snapshot gating (slot retired and readmitted between a block's
+    dispatch and its record must not be touched by the stale block)."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(23)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 6, 7, 21)]
+    budgets = [4, 12, 12, 9]
+    oracle = [_oracle(params, embeds_for(p), b, eos)
+              for p, b in zip(prompts, budgets)]
+
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 32), eos_token_id=eos)
+    queue = list(zip(prompts, budgets))
+    ids, pending = [], None
+    for _ in range(100):
+        while queue and eng.free_slots():
+            p, b = queue.pop(0)
+            ids += eng.submit_many([(embeds_for(p),
+                                     jnp.ones((1, len(p)), jnp.int32), b)])
+        busy = any(r is not None for r in eng.slot_req)
+        if busy:
+            blk = eng.step_block(4)
+            if pending is not None:
+                eng.record_block(pending)
+            pending = blk
+        elif pending is not None:
+            eng.record_block(pending)
+            pending = None
+        if not queue and not busy and pending is None:
+            break
+    res = eng.finished()
+    assert set(res) == set(ids)
+    for rid, want in zip(ids, oracle):
+        assert res[rid] == want, (res[rid], want)
+
+
+def test_submit_many_first_token_done():
+    """A deferred admission with max_new=1 (and one whose first token
+    can't continue) retires via the record path without ever decoding."""
+    params, embeds_for = _setup()
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=32,
+                           prefill_buckets=(8,), eos_token_id=None)
+    want = _oracle(params, embeds_for([3, 5]), 1, eos=-1)
+    ids = eng.submit_many([(embeds_for([3, 5]),
+                            jnp.ones((1, 2), jnp.int32), 1)])
+    res = eng.run_until_drained()
+    assert res[ids[0]] == want
+    assert eng.slot_req == [None, None]
