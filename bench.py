@@ -54,6 +54,9 @@ def _sidecar_update(name: str, **fields) -> None:
     data = _sidecar_load()
     entry = data.get(name, {})
     entry.update(fields)
+    if "value" in fields:       # success supersedes any stale failure
+        entry.pop("last_error", None)
+        entry.pop("error_round", None)
     data[name] = entry
     tmp = _SIDECAR_PATH + ".tmp"
     try:
@@ -638,6 +641,11 @@ def main():
         names = ("serving continuous-batching int8 full-depth 8 slots "
                  "(24 staggered reqs, int8 KV, block-16 "
                  "double-buffered steps)",
+                 "serving continuous-batching int8 GQA-8kv full-depth "
+                 "32 slots VARIABLE budgets 32..256 (96 reqs, int8 KV — "
+                 "the KV-lean decoder sizes the pool to HBM; weight "
+                 "reads amortize over 4x rows and convoy padding stops "
+                 "being free)",
                  "llama-13B decode int8 full-depth b1 (speculative "
                  "baseline)",
                  "speculative decode int8 full-depth k=4 draft-4L UPPER "
@@ -655,16 +663,16 @@ def main():
                 "tok/s/chip")
             import gc
             gc.collect()
-            run(names[1],
+            run(names[2],
                 functools.partial(bench_llama_decode, batch=1, layers=40,
                                   quant="int8", params=p8), "tok/s/chip")
             gc.collect()
-            if want(names[2]) or want(names[3]):
+            if want(names[3]) or want(names[4]):
                 tgt = _passthrough_target(p8, 4)      # donates p8 layers
                 del p8
                 draft = dict(tgt, layers=jax.tree_util.tree_map(
                     lambda x: x[:4], tgt["layers"]))
-                run(names[2], functools.partial(bench_speculative_decode,
+                run(names[3], functools.partial(bench_speculative_decode,
                                                 tgt, draft, label="upper"),
                     "tok/s/chip")
                 # lower bound: NEGATED draft lm_head — argmax becomes
@@ -678,14 +686,33 @@ def main():
                         head[kn] = -head[kn]   # too would double-negate
                         break
                 d2 = dict(draft, lm_head=head)
-                run(names[3], functools.partial(bench_speculative_decode,
+                run(names[4], functools.partial(bench_speculative_decode,
                                                 tgt, d2, label="lower"),
                     "tok/s/chip")
                 del d2
-                run(names[4], functools.partial(bench_speculative_batch,
+                run(names[5], functools.partial(bench_speculative_batch,
                                                 tgt, draft, label="b8"),
                     "tok/s/chip")
-                del draft
+                del draft, tgt
+            else:
+                del p8
+            gc.collect()
+            if want(names[1]):
+                # GQA variable-budget lane LAST: it builds its own
+                # KV-lean decoder after the MHA weights are freed
+                # (13.3 GB x2 never coexist)
+                pg = init_llama_quant_full(
+                    _llama_13b_cfg(40, kv_heads=8), "int8")
+                # no prefill-row cap: the GQA small-cache transient is
+                # ~84 MB for a full 32-row burst — one program admits
+                # the whole arrival wave at convoy-prefill efficiency
+                run(names[1],
+                    functools.partial(bench_continuous_serving, params=pg,
+                                      slots=32, new_max=256, kv_heads=8,
+                                      factors=(1, 2, 3, 4, 5, 6, 7, 8)),
+                    "tok/s/chip")
+                del pg
+                gc.collect()
         except Exception as e:  # noqa: BLE001
             print(f"serving block failed: {e}", file=sys.stderr)
 
@@ -1088,7 +1115,8 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
 
 
 def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
-                             new_max=64):
+                             new_max=64, factors=(2, 3, 4, 5, 6, 7, 8, 8),
+                             max_prefill_rows=None, kv_heads=None):
     """Continuous-batching serving throughput (VERDICT r4 item 1a): a
     ContinuousEngine slot pool over the full-depth int8 13B decoder
     serves 3*slots staggered requests with UNEQUAL decode budgets
@@ -1104,10 +1132,10 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
     REQUESTED-tokens/sec (padding/convoy waste counts against wall)."""
     from emu_tpu.generation.continuous import ContinuousEngine
     from emu_tpu.models import llama
-    cfg = _llama_13b_cfg(40)
+    cfg = _llama_13b_cfg(40, kv_heads)
     if params is None:
         params = init_llama_quant_full(cfg, "int8")
-    budgets = [new_max * f // 8 for f in (2, 3, 4, 5, 6, 7, 8, 8)]
+    budgets = [new_max * f // 8 for f in factors]
     budgets = (budgets * -(-slots * 3 // len(budgets)))[:slots * 3]
     total_tokens = sum(budgets)
     ids = jnp.full((1, prompt), 7, jnp.int32)
@@ -1122,13 +1150,27 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
     eng = ContinuousEngine(params, cfg, max_slots=slots,
                            max_len=prompt + new_max,
                            prefill_buckets=(prompt,),
-                           eos_token_id=None, kv_cache_quant=True)
+                           eos_token_id=None, kv_cache_quant=True,
+                           max_prefill_rows=max_prefill_rows)
+
+    stats = {"steps": 0, "blocks": 0}
+    done_at = {}            # req_id -> completion wall (last timed run)
 
     def once():
+        stats.update(steps=0, blocks=0)
+        done_at.clear()
+        rid_budget = {}
+        t_start = time.perf_counter()
         queue = list(budgets)
-        pending = None
+        pending = []
+
+        def note_done():
+            for rid, req in eng.requests.items():
+                if req.done and rid not in done_at:
+                    done_at[rid] = time.perf_counter() - t_start
+                    rid_budget[rid] = req.max_new
         while queue or any(r is not None for r in eng.slot_req) \
-                or pending is not None:
+                or pending:
             if queue and eng.free_slots():
                 # batched admission: ONE prefill program per arrival
                 # burst, first-token fetches deferred to record time
@@ -1136,16 +1178,31 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
                 eng.submit_many([(embeds, mask, queue.pop(0))
                                  for _ in range(n)])
             if any(r is not None for r in eng.slot_req):
-                blk = eng.step_block(block)
-                if pending is not None:
-                    eng.record_block(pending)
-                pending = blk
-            elif pending is not None:
-                eng.record_block(pending)
-                pending = None
+                # budget-aware sizing: blocks end at the next scheduled
+                # retirement; recording stays exactly ONE block behind
+                # (double buffering — the packed fetch of block i
+                # overlaps block i+1's device compute). A/B'd r5 on
+                # chip: sync-record-at-retirement 6.06s, deferred
+                # drain-at-retirement 5.37s, this 5.05s (narrow lane).
+                n_steps = eng.suggested_block(block)
+                stats["steps"] += n_steps
+                stats["blocks"] += 1
+                pending.append(eng.step_block(n_steps))
+                if len(pending) > 1:
+                    eng.record_blocks(pending[:-1])
+                    pending = pending[-1:]
+                    note_done()
+            elif pending:
+                eng.record_blocks(pending)
+                pending = []
+                note_done()
+        note_done()
         done = eng.finished()
         got = sum(len(v) for v in done.values())
         assert got == total_tokens, (got, total_tokens)
+        stats["lat"] = sorted(done_at.values())
+        stats["lat_short"] = [done_at[r] for r, b in rid_budget.items()
+                              if b == min(budgets)]
 
     # warm (compiles prefill bucket + block program), then min-of-2
     once()
@@ -1159,14 +1216,35 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
     n_reqs = len(budgets)
     # static convoy comparator: groups of `slots`, each to its max budget
     groups = [budgets[i:i + slots] for i in range(0, n_reqs, slots)]
-    dt8 = _llama_decode_time(slots, 40, prompt, new_max, "int8", None,
+    dt8 = _llama_decode_time(slots, 40, prompt, new_max, "int8", kv_heads,
                              True, params)
     static_wall = sum(dt8 * max(g) / new_max for g in groups)
+    occ = total_tokens / (stats["steps"] * slots) * 100
+    occ_convoy = total_tokens / (len(groups) * new_max * slots) * 100
+    # per-request completion latency (all requests queued at t0): the
+    # convoy's group barrier holds EVERY member to its group's end,
+    # cumulatively — short requests pay the full head-of-line price
+    gw, conv_lat = 0.0, []
+    for g in groups:
+        gw += dt8 * max(g) / new_max
+        conv_lat += [gw] * len(g)
+    lat = stats["lat"]
+    short = stats["lat_short"]
+    print(f"  latency: mean {sum(lat)/len(lat):.2f}s / p50 "
+          f"{lat[len(lat)//2]:.2f}s vs convoy mean "
+          f"{sum(conv_lat)/len(conv_lat):.2f}s / p50 "
+          f"{conv_lat[len(conv_lat)//2]:.2f}s; shortest-budget "
+          f"({min(budgets)} tok) mean {sum(short)/len(short):.2f}s vs "
+          f"convoy {sum(conv_lat)/len(conv_lat):.2f}s",
+          file=sys.stderr)
     print(f"continuous serving: {n_reqs} reqs x {prompt} prompt, "
           f"budgets {min(budgets)}..{max(budgets)} — {best:.2f}s wall "
           f"({n_reqs / best:.2f} req/s) vs static convoy "
           f"{static_wall:.2f}s ({total_tokens / static_wall:.0f} tok/s); "
-          f"speedup x{static_wall / best:.2f}", file=sys.stderr)
+          f"speedup x{static_wall / best:.2f} "
+          f"[{stats['blocks']} blocks, {stats['steps']} pool-steps, "
+          f"occupancy {occ:.0f}% vs convoy {occ_convoy:.0f}%]",
+          file=sys.stderr)
     return tput
 
 

@@ -58,7 +58,8 @@ class ContinuousEngine:
                  eos_token_id: Optional[int] = 2, temperature: float = 0.0,
                  cache_dtype=None, kv_cache_quant: bool = False,
                  chunk_size: Optional[int] = None, seed: int = 0,
-                 per_request_sampling: bool = False):
+                 per_request_sampling: bool = False,
+                 max_prefill_rows: Optional[int] = None):
         self.params, self.cfg = params, cfg
         # 8-multiple capacity keeps the Pallas decode kernel eligible
         max_len = -(-max_len // 8) * 8
@@ -81,6 +82,13 @@ class ContinuousEngine:
         # bounded by max_len instead of the largest bucket. Keep <= 32
         # so mixed steps stay on the Pallas decode kernel.
         self.chunk_size = chunk_size
+        # HBM guard for batched admission: the prefill program's
+        # transient small cache is p * s_bucket tokens (~0.41 MB/token
+        # at 13B int8-KV) ON TOP of weights + the big cache; pools sized
+        # to the HBM edge cap p so admission bursts split into several
+        # programs instead of overshooting (measured: 16 slots x 128
+        # prompt at 13B int8 OOMs a 16 GB chip exactly here)
+        self.max_prefill_rows = max_prefill_rows
         self._admissions: List[dict] = []
         self._rng = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
@@ -93,6 +101,10 @@ class ContinuousEngine:
         # readmitted in between must not have the stale block's
         # active/still flags applied to the new request)
         self._slot_gen: List[int] = [0] * max_slots
+        # per-slot tokens DISPATCHED since admission (host-side mirror;
+        # counts steps sent to the device, not steps recorded) — feeds
+        # suggested_block's budget-aware sizing
+        self._dispatched: List[int] = [0] * max_slots
         if cache_dtype is None:
             cache_dtype = params["norm"].dtype
         self.state = {
@@ -124,6 +136,13 @@ class ContinuousEngine:
         self._prefill_jit = jax.jit(self._prefill_impl,
                                     static_argnums=(4,),
                                     donate_argnums=(1,))
+        # pack a block's (toks, actives, still) into ONE int32 array so
+        # record costs a single host fetch: each np.asarray is a full
+        # RPC round-trip on the tunneled backend (~25 ms+ of latency,
+        # independent of size) and three per block dominated the
+        # measured serving wall at 32 slots
+        self._pack_jit = jax.jit(lambda t, a, s: jnp.concatenate(
+            [t, a.astype(jnp.int32), s[None].astype(jnp.int32)], 0))
 
     # -- jitted programs ----------------------------------------------------
 
@@ -304,7 +323,7 @@ class ContinuousEngine:
         close() breaks it so the KV planes leave HBM deterministically
         (serving restarts, bench re-runs)."""
         for name in ("_step_jit", "_block_jit", "_mixed_jit",
-                     "_prefill_jit"):
+                     "_prefill_jit", "_pack_jit"):
             setattr(self, name, None)
         self.state = None
 
@@ -375,14 +394,17 @@ class ContinuousEngine:
                 continue
             groups.setdefault(_bucket(s, self.buckets), []).append(
                 (j, (embeds, mask, max_new, temp)))
+        cap = self.max_prefill_rows or len(reqs) or 1
         for s_b, group in groups.items():
-            slots = [free.pop(0) for _ in group]
-            firsts, group_reqs = self._prefill_rows(
-                [row for _, row in group], slots)
-            for i, (req, slot) in enumerate(zip(group_reqs, slots)):
-                req.tokens.append(firsts[i])    # device scalar: deferred
-                self.slot_req[slot] = req.req_id
-                ids[group[i][0]] = req.req_id
+            for at in range(0, len(group), cap):
+                sub = group[at:at + cap]
+                slots = [free.pop(0) for _ in sub]
+                firsts, group_reqs = self._prefill_rows(
+                    [row for _, row in sub], slots)
+                for i, (req, slot) in enumerate(zip(group_reqs, slots)):
+                    req.tokens.append(firsts[i])   # device scalar: deferred
+                    self.slot_req[slot] = req.req_id
+                    ids[sub[i][0]] = req.req_id
         return ids
 
     def _prefill_rows(self, group, slots):
@@ -419,8 +441,36 @@ class ContinuousEngine:
             req = _Request(next(self._ids), embeds.shape[1], max_new)
             self.requests[req.req_id] = req
             self._slot_gen[slot] += 1
+            self._dispatched[slot] = 1          # the prefill's first token
             group_reqs.append(req)
         return firsts, group_reqs
+
+    def retirements_pending(self) -> bool:
+        """True when some occupied slot has already been DISPATCHED its
+        whole budget — its retirement is sitting in an unrecorded block.
+        A scheduler holding work should record that block synchronously
+        (instead of double-buffering past it) so the slot refills
+        immediately; otherwise it idles through the next block too."""
+        return any(rid is not None
+                   and self._dispatched[slot]
+                   >= self.requests[rid].max_new
+                   for slot, rid in enumerate(self.slot_req))
+
+    def suggested_block(self, max_steps: int, floor: int = 4) -> int:
+        """Budget-aware block size: the step count until the earliest
+        possible budget retirement among occupied slots (EOS can retire
+        a row sooner — budgets are the known upper bound), clamped to
+        [floor, max_steps]. Blocks then END at scheduled retirements,
+        so freed slots refill immediately instead of idling to a fixed
+        block boundary (the measured occupancy waste of the fixed-16
+        serving lane)."""
+        rems = [self.requests[rid].max_new - self._dispatched[slot]
+                for slot, rid in enumerate(self.slot_req)
+                if rid is not None]
+        rems = [r for r in rems if r > 0]
+        if not rems:
+            return floor
+        return max(floor, min(max_steps, min(rems)))
 
     def _submit_chunked(self, slot: int, inputs_embeds, attention_mask,
                         max_new: int, temp: float = 0.0) -> int:
@@ -462,11 +512,15 @@ class ContinuousEngine:
             self.params, self.state, jnp.asarray(chunk),
             jnp.int32(a["slot"]), jnp.int32(qlen), final,
             jnp.int32(a["max_new"]), jnp.float32(a.get("temp", 0.0)), sub)
+        for slot, rid in enumerate(self.slot_req):
+            if rid is not None and slot != a["slot"]:
+                self._dispatched[slot] += 1
         advanced = self._record(out_tok, was_active)
         a["offset"] += qlen
         if final:
             self._admissions.pop(0)
             req = a["req"]
+            self._dispatched[a["slot"]] = 1
             first = int(first)
             req.tokens.append(first)
             if first == self.eos or a["max_new"] <= 1:
@@ -503,6 +557,9 @@ class ContinuousEngine:
         if self._admissions:
             return self._step_mixed()
         self._rng, sub = jax.random.split(self._rng)
+        for slot, rid in enumerate(self.slot_req):
+            if rid is not None:
+                self._dispatched[slot] += 1
         self.state, out_tok, was_active = self._step_jit(
             self.params, self.state, sub)
         return self._record(out_tok, was_active)
@@ -522,32 +579,50 @@ class ContinuousEngine:
         self._rng, sub = jax.random.split(self._rng)
         self.state, toks, actives, still = self._block_jit(
             self.params, n_steps, self.state, sub)
-        return toks, actives, still, tuple(self._slot_gen)
+        for slot, rid in enumerate(self.slot_req):
+            if rid is not None:
+                self._dispatched[slot] += n_steps
+        packed = self._pack_jit(toks, actives, still)
+        return packed, n_steps, tuple(self._slot_gen)
 
     def record_block(self, block) -> int:
-        """Fetch + bookkeep one step_block result: append each advanced
-        slot's tokens, retire slots that finished within the block.
-        Returns the number of (slot, step) advances recorded. Only slots
-        whose admission generation matches the block's dispatch-time
-        snapshot are touched — a stale double-buffered block must not
-        retire a request admitted after it was dispatched."""
-        toks, actives, still = (np.asarray(x) for x in block[:3])
-        gens = block[3]
+        """Fetch + bookkeep one step_block result (ONE host fetch of the
+        packed array): append each advanced slot's tokens, retire slots
+        that finished within the block. Returns the number of (slot,
+        step) advances recorded. Only slots whose admission generation
+        matches the block's dispatch-time snapshot are touched — a stale
+        double-buffered block must not retire a request admitted after
+        it was dispatched."""
+        return self.record_blocks([block])
+
+    def record_blocks(self, blocks) -> int:
+        """Record several queued step_block results with one combined
+        host fetch per block (a scheduler that defers recording until a
+        predicted retirement — suggested_block/retirements_pending —
+        drains its queue here). Blocks must be in dispatch order; slots
+        admitted mid-queue are handled by the per-block gen snapshots."""
         advanced = 0
-        for slot, rid in enumerate(self.slot_req):
-            if rid is None or gens[slot] != self._slot_gen[slot]:
-                continue
-            req = self.requests[rid]
-            live = actives[:, slot]
-            if live.any():
-                req.tokens.extend(int(t) for t in toks[live, slot])
-                advanced += int(live.sum())
-            # gen match ⇒ this block ran after the admission, so `still`
-            # speaks for the current request — including a deferred
-            # admission that EOS'd on its first token (never active)
-            if not still[slot]:
-                req.done = True
-                self.slot_req[slot] = None
+        # one device_get for the whole queue: transfers issue together
+        # instead of one blocking round-trip per block
+        fetched = jax.device_get([b[0] for b in blocks])
+        for packed, (_, n_steps, gens) in zip(fetched, blocks):
+            toks = packed[:n_steps]
+            actives = packed[n_steps:2 * n_steps].astype(bool)
+            still = packed[2 * n_steps].astype(bool)
+            for slot, rid in enumerate(self.slot_req):
+                if rid is None or gens[slot] != self._slot_gen[slot]:
+                    continue
+                req = self.requests[rid]
+                live = actives[:, slot]
+                if live.any():
+                    req.tokens.extend(int(t) for t in toks[live, slot])
+                    advanced += int(live.sum())
+                # gen match ⇒ this block ran after the admission, so
+                # `still` speaks for the current request — including a
+                # deferred admission that EOS'd on its first token
+                if not still[slot]:
+                    req.done = True
+                    self.slot_req[slot] = None
         return advanced
 
     def finished(self) -> Dict[int, List[int]]:

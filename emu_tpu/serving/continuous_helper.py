@@ -158,7 +158,12 @@ class ContinuousChatHelper:
                     continue
                 if any(r is not None for r in self.engine.slot_req):
                     if self.block_steps > 1:
-                        blk = self.engine.step_block(self.block_steps)
+                        # budget-aware block sizing only; recording the
+                        # pending block early at retirements_pending()
+                        # was A/B'd SLOWER on the tunnel (unoverlapped
+                        # variable host fetch > the reclaimed steps)
+                        blk = self.engine.step_block(
+                            self.engine.suggested_block(self.block_steps))
                         if pending_blk is not None:
                             self.engine.record_block(pending_blk)
                         pending_blk = blk

@@ -385,3 +385,59 @@ def test_submit_many_first_token_done():
     res = eng.run_until_drained()
     assert res[ids[0]] == want
     assert eng.slot_req == [None, None]
+
+
+def test_suggested_block_sizing():
+    """suggested_block returns steps-to-next-budget-retirement clamped
+    to [floor, max], and the variable-size block path still decodes the
+    exact oracle streams."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(29)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 9)]
+    budgets = [5, 11]
+    oracle = [_oracle(params, embeds_for(p), b, eos)
+              for p, b in zip(prompts, budgets)]
+    eng = ContinuousEngine(params, CFG, max_slots=2, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=eos)
+    ids = eng.submit_many([
+        (embeds_for(p), jnp.ones((1, len(p)), jnp.int32), b)
+        for p, b in zip(prompts, budgets)])
+    # after admission both rows hold 1 token: remaining 4 and 10
+    assert eng.suggested_block(16) == 4
+    assert eng.suggested_block(16, floor=8) == 8
+    pending = None
+    for _ in range(50):
+        if any(r is not None for r in eng.slot_req):
+            blk = eng.step_block(eng.suggested_block(6, floor=2))
+            if pending is not None:
+                eng.record_block(pending)
+            pending = blk
+        elif pending is not None:
+            eng.record_block(pending)
+            pending = None
+        else:
+            break
+    res = eng.finished()
+    for rid, want in zip(ids, oracle):
+        assert res[rid] == want, (res[rid], want)
+
+
+def test_max_prefill_rows_split():
+    """max_prefill_rows splits an admission burst into several prefill
+    programs (the HBM guard for edge-sized pools) with identical
+    decoded streams."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(31)
+    prompts = [list(rng.randint(1, 90, n)) for n in (5, 6, 7)]
+    oracle = [_oracle(params, embeds_for(p), 8, eos) for p in prompts]
+    eng = ContinuousEngine(params, CFG, max_slots=4, max_len=64,
+                           prefill_buckets=(8,), eos_token_id=eos,
+                           max_prefill_rows=2)
+    ids = eng.submit_many([(embeds_for(p),
+                            jnp.ones((1, len(p)), jnp.int32), 8)
+                           for p in prompts])
+    res = eng.run_until_drained()
+    for rid, want in zip(ids, oracle):
+        assert res[rid] == want, (res[rid], want)
