@@ -48,8 +48,13 @@ class EmuVisualGeneration:
             # vision tower W8A8 (ops/quant.quantize_model_params; ≙ ref
             # demo 4-bit flag, Emu2/demo/backend/hf_model/emu/chat.py:59)
             from emu_tpu.ops.quant import quantize_model_params
+            # donate: the bf16 input leaves free as each is quantized —
+            # without it the full bf16 decoder and its int8 copy coexist
+            # next to the UNet (measured OOM at 33B-width L8 on 16 GB).
+            # The caller's emu_params buffers are consumed.
             emu_params = jax.jit(
-                lambda p: quantize_model_params(p, quantize))(emu_params)
+                lambda p: quantize_model_params(p, quantize),
+                donate_argnums=0)(emu_params)
         self.emu_params, self.emu_cfg = emu_params, emu_cfg
         self.unet_params, self.unet_cfg = unet_params, unet_cfg
         self.vae_params, self.vae_cfg = vae_params, vae_cfg
