@@ -245,4 +245,11 @@ def _auto_backend(q, k, bias, mask, kv_valid, causal) -> str:
         return "batched_mha"
     if q.shape[1] < 512 or q.shape[-1] > 256:
         return "xla"
+    if k.shape[1] < 512:
+        # short-KV cross attention (e.g. the UNet's 64-token conditioning
+        # against 1024-4096 latents): the flash kernel pads Skv to a full
+        # 1024 block and launches per-(batch, head); the plain einsum is
+        # measured faster at every such shape (r5: 148 vs 183 us at 32^2,
+        # 177 vs 232 at 64^2 — tools/probe_unet_attn.py)
+        return "xla"
     return "flash"
