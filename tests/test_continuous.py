@@ -441,3 +441,28 @@ def test_max_prefill_rows_split():
     res = eng.run_until_drained()
     for rid, want in zip(ids, oracle):
         assert res[rid] == want, (res[rid], want)
+
+
+def test_submit_many_chunked_fallthrough():
+    """A submit_many batch mixing bucketed prompts with one beyond the
+    buckets (chunk_size set): the long prompt parks as a CHUNKED
+    admission, the rest admit batched, ids return in request order, and
+    every stream matches its oracle."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(37)
+    short = list(rng.randint(1, 90, 5))
+    long = list(rng.randint(1, 90, 37))            # > largest bucket
+    want_s = _oracle(params, embeds_for(short), 8, eos)
+    want_l = _oracle(params, embeds_for(long), 6, eos)
+    eng = ContinuousEngine(params, CFG, max_slots=3, max_len=64,
+                           prefill_buckets=(8, 16), eos_token_id=eos,
+                           chunk_size=8)
+    ids = eng.submit_many([
+        (embeds_for(short), jnp.ones((1, 5), jnp.int32), 8),
+        (embeds_for(long), jnp.ones((1, 37), jnp.int32), 6),
+    ])
+    assert eng._admissions, "long prompt should park as chunked"
+    res = eng.run_until_drained()
+    assert res[ids[0]] == want_s, (res[ids[0]], want_s)
+    assert res[ids[1]] == want_l, (res[ids[1]], want_l)
