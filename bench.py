@@ -814,6 +814,17 @@ def main():
                 functools.partial(bench_llama_decode, layers=40,
                                   quant="int8", kv_heads=8, params=pg),
                 "tok/s/chip")
+            # the GQA serving payoff: the 5x-leaner KV makes big batches
+            # ~free (b64 int8 KV is 1.0 GB vs MHA's 5.0) — these are the
+            # pool sizes the continuous GQA lane exploits
+            run("llama-13B decode int8 GQA-8kv full-depth b32 int8-KV",
+                functools.partial(bench_llama_decode, batch=32, layers=40,
+                                  quant="int8", kv_heads=8, kv_quant=True,
+                                  params=pg), "tok/s/chip")
+            run("llama-13B decode int8 GQA-8kv full-depth b64 int8-KV",
+                functools.partial(bench_llama_decode, batch=64, layers=40,
+                                  quant="int8", kv_heads=8, kv_quant=True,
+                                  params=pg), "tok/s/chip")
             del pg
             pg4 = (init_llama_quant_full(_llama_13b_cfg(40, kv_heads=8),
                                          "int4")
