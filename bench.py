@@ -653,7 +653,11 @@ def main():
                  "speculative decode int8 full-depth k=4 draft-4L LOWER "
                  "(negated-head draft, zero acceptance)",
                  "speculative-batch decode int8 full-depth b8 k=4 "
-                 "draft-4L UPPER (one verify pass serves 8 rows)")
+                 "draft-4L UPPER (one verify pass serves 8 rows)",
+                 "serving continuous-batching int8 GQA-8kv full-depth "
+                 "64 slots VARIABLE budgets 32..256 (192 reqs, int8 KV "
+                 "~2.0 GB — raw-decode lanes scale 1215->1697 tok/s "
+                 "b32->b64, so the pool doubles once more)")
         if _budget_left() <= 0 or not any(want(s) for s in names):
             return
         try:
@@ -697,7 +701,7 @@ def main():
             else:
                 del p8
             gc.collect()
-            if want(names[1]):
+            if want(names[1]) or want(names[6]):
                 # GQA variable-budget lane LAST: it builds its own
                 # KV-lean decoder after the MHA weights are freed
                 # (13.3 GB x2 never coexist)
@@ -709,6 +713,16 @@ def main():
                 run(names[1],
                     functools.partial(bench_continuous_serving, params=pg,
                                       slots=32, new_max=256, kv_heads=8,
+                                      factors=(1, 2, 3, 4, 5, 6, 7, 8)),
+                    "tok/s/chip")
+                gc.collect()
+                # 64-slot pool: same KV-lean decoder, KV doubles to
+                # ~2.0 GB (fits beside ~11.6 GB GQA int8 weights); the
+                # raw-decode b32->b64 lanes gained +40%, so weight-read
+                # amortization still has headroom at this pool size
+                run(names[6],
+                    functools.partial(bench_continuous_serving, params=pg,
+                                      slots=64, new_max=256, kv_heads=8,
                                       factors=(1, 2, 3, 4, 5, 6, 7, 8)),
                     "tok/s/chip")
                 del pg
