@@ -657,7 +657,10 @@ def main():
                  "serving continuous-batching int8 GQA-8kv full-depth "
                  "64 slots VARIABLE budgets 32..256 (192 reqs, int8 KV "
                  "~2.0 GB — raw-decode lanes scale 1215->1697 tok/s "
-                 "b32->b64, so the pool doubles once more)")
+                 "b32->b64, so the pool doubles once more)",
+                 "llama-13B decode int8 GQA-8kv full-depth b8 PAGED KV "
+                 "(page 128, bf16 pool; prices the vLLM-style page "
+                 "gather vs the dense head-major cache)")
         if _budget_left() <= 0 or not any(want(s) for s in names):
             return
         try:
@@ -701,7 +704,7 @@ def main():
             else:
                 del p8
             gc.collect()
-            if want(names[1]) or want(names[6]):
+            if want(names[1]) or want(names[6]) or want(names[7]):
                 # GQA variable-budget lane LAST: it builds its own
                 # KV-lean decoder after the MHA weights are freed
                 # (13.3 GB x2 never coexist)
@@ -724,6 +727,10 @@ def main():
                     functools.partial(bench_continuous_serving, params=pg,
                                       slots=64, new_max=256, kv_heads=8,
                                       factors=(1, 2, 3, 4, 5, 6, 7, 8)),
+                    "tok/s/chip")
+                gc.collect()
+                run(names[7],
+                    functools.partial(bench_paged_decode, params=pg),
                     "tok/s/chip")
                 del pg
                 gc.collect()
@@ -1277,6 +1284,101 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
           f"occupancy {occ:.0f}% vs convoy {occ_convoy:.0f}%]",
           file=sys.stderr)
     return tput
+
+
+def bench_paged_decode(params=None, batch=8, prompt=128, new=64,
+                       page=128, kv_heads=8):
+    """Paged-KV decode throughput (generation/paged_kv.py) vs the dense
+    head-major cache at identical shapes — the last serving component
+    without a chip number. Both paths run the SAME minimal jitted loop
+    (embed -> step -> argmax feedback, fori_loop, one scalar fetch), so
+    the delta is purely the paged pool's per-step gather/scatter + the
+    token-major attention fallback vs the head-major dense cache + pallas
+    decode kernel. Reference comparator: vLLM-style paged attention keeps
+    pools tight when lengths vary; this lane prices that flexibility on
+    this backend."""
+    from emu_tpu.generation.paged_kv import (PageAllocator, init_paged_cache,
+                                             paged_decode_step,
+                                             paged_prefill_insert)
+    from emu_tpu.models import llama
+    cfg = _llama_13b_cfg(40, kv_heads)
+    if params is None:
+        params = init_llama_quant_full(cfg, "int8")
+    pps = -(-(prompt + new) // page)
+    n_pages = batch * pps
+    max_pos = pps * page
+    cache = init_paged_cache(cfg, n_pages, page, batch, pps)
+    alloc = PageAllocator(n_pages)
+    emb1 = llama.embed(params, jnp.full((1, prompt), 7, jnp.int32))
+    mask1 = jnp.ones((1, prompt), jnp.int32)
+
+    # params ride as jit ARGUMENTS everywhere (closure capture bakes the
+    # 11.5 GB weight tree into the lowered program as constants)
+    @functools.partial(jax.jit, static_argnums=4)
+    def _prefill_one(p, cache, emb, pages, slot):
+        return paged_prefill_insert(p, cfg, cache, emb, mask1, pages, slot)
+
+    lasts = []
+    for slot in range(batch):
+        pages = jnp.asarray(alloc.alloc(pps), jnp.int32)
+        hid, cache = _prefill_one(params, cache, emb1, pages, slot)
+        lasts.append(jnp.argmax(llama.logits(params, hid[0])))
+    tok0 = jnp.stack(lasts).astype(jnp.int32)
+
+    @jax.jit
+    def gen_paged(p, k, v, pt, tok):
+        def body(i, carry):
+            k, v, tok, acc = carry
+            pos = prompt + i
+            slots = jnp.full((batch,), pos, jnp.int32)
+            sm = jnp.arange(max_pos)[None, :] <= pos
+            e = llama.embed(p, tok[:, None])
+            hid, c2 = paged_decode_step(
+                p, cfg, {"k": k, "v": v, "page_table": pt}, e, slots,
+                jnp.broadcast_to(sm, (batch, max_pos)), slots)
+            tok = jnp.argmax(llama.logits(p, hid[:, 0]),
+                             axis=-1).astype(jnp.int32)
+            return c2["k"], c2["v"], tok, acc + jnp.sum(tok)
+        _, _, _, acc = jax.lax.fori_loop(
+            0, new, body, (k, v, tok, jnp.int32(0)))
+        return acc
+
+    dt = _time_call(lambda: gen_paged(params, cache["k"], cache["v"],
+                                      cache["page_table"], tok0))
+
+    # dense comparator: identical loop body over the head-major cache
+    dcache = llama.init_cache(cfg, batch, max_pos, dtype=jnp.bfloat16)
+    embb = llama.embed(params, jnp.full((batch, prompt), 7, jnp.int32))
+    hid, dcache = jax.jit(lambda p, e, c: llama.prefill(
+        p, cfg, e, jnp.ones((batch, prompt), jnp.int32), c))(
+        params, embb, dcache)
+    tokd = jnp.argmax(llama.logits(params, hid[:, -1]),
+                      axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def gen_dense(p, dc, tok):
+        def body(i, carry):
+            dc, tok, acc = carry
+            pos = prompt + i
+            sm = jnp.broadcast_to(jnp.arange(max_pos)[None, :] <= pos,
+                                  (batch, max_pos))
+            e = llama.embed(p, tok[:, None])
+            hid, dc = llama.decode_step(p, cfg, dc, e, jnp.int32(pos),
+                                        sm, jnp.full((batch,), pos,
+                                                     jnp.int32))
+            tok = jnp.argmax(llama.logits(p, hid[:, 0]),
+                             axis=-1).astype(jnp.int32)
+            return dc, tok, acc + jnp.sum(tok)
+        _, _, acc = jax.lax.fori_loop(0, new, body, (dc, tok, jnp.int32(0)))
+        return acc
+
+    dt_dense = _time_call(lambda: gen_dense(params, dcache, tokd))
+    print(f"paged-KV decode: {batch * new / dt:.1f} tok/s "
+          f"({dt / new * 1e3:.2f} ms/step) vs dense head-major cache "
+          f"{batch * new / dt_dense:.1f} tok/s "
+          f"({dt_dense / new * 1e3:.2f} ms/step) — paged overhead "
+          f"x{dt / dt_dense:.2f}", file=sys.stderr)
+    return batch * new / dt
 
 
 def _passthrough_target(p8, keep):
