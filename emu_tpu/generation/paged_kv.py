@@ -2,18 +2,29 @@
 
 The dense cache (llama.init_cache) reserves [B, max_len] per slot, so a
 pool sized for worst-case length wastes HBM on short requests. Here KV
-lives in a global pool of fixed-size pages [L, n_pages, page, H, D] and
-each slot owns an int32 page table; admission allocates pages from a
-host-side free list as the sequence grows, retirement returns them. The
-attainable concurrency is then bound by TOTAL tokens in flight, not by
-max_slots × max_len.
+lives in a global pool of fixed-size pages and each slot owns an int32
+page table; admission allocates pages from a host-side free list as the
+sequence grows, retirement returns them. The attainable concurrency is
+then bound by TOTAL tokens in flight, not by max_slots × max_len.
+(Reference comparator: vLLM-style paged attention — the reference
+serving stack, Emu2/demo/backend/pytorch_model/backend.py, has only
+whole-batch generate; paging is beyond-reference capability.)
 
-TPU design: shapes stay static — the per-slot view is materialized by a
-pages gather (XLA fuses it into the attention read; attention has to
-stream that KV from HBM anyway), writes are one dual-index scatter into
-(page, offset). Everything the device sees is fixed-size; page
-allocation is host bookkeeping between jitted steps, exactly where the
-continuous-batching scheduler already sits.
+TPU design: shapes stay static. Pages are HEAD-MAJOR
+[L, n_pages, Hkv, page, D] — the same per-head dense-tile property as
+llama.init_cache, which lets single-query steps run the pallas paged
+decode kernel (ops/decode_attention.paged_decode_attention): the page
+table rides scalar prefetch and the kernel's index_maps translate
+(row, chunk) -> physical page at DMA issue time, so NO contiguous
+per-slot KV copy is ever materialized (the r5 token-major design
+gathered the whole pool view every step — measured x1.17 over the
+dense cache; head-major + in-kernel paging closes that gap). Cache
+writes are DEFERRED out of the layer scan exactly like
+llama.decode_step: each layer's new k/v row exits as scan ys
+(attention folds it as an exact extra column) and one dual-index
+scatter per plane commits all layers. Page allocation is host
+bookkeeping between jitted steps, where the continuous-batching
+scheduler already sits.
 """
 
 from __future__ import annotations
@@ -34,7 +45,7 @@ def init_paged_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
                      dtype=jnp.bfloat16) -> dict:
     """Pool + page tables. Entry -1 in a table = unmapped (reads page 0,
     masked out by the caller's slot mask)."""
-    shape = (cfg.num_hidden_layers, n_pages, page_size, cfg.kv_heads,
+    shape = (cfg.num_hidden_layers, n_pages, cfg.kv_heads, page_size,
              cfg.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
@@ -60,15 +71,17 @@ class PageAllocator:
 
 
 def _gather_slot_kv(cache: dict) -> Tuple[jax.Array, ...]:
-    """Materialize per-slot contiguous KV views [L, B, P*page, H, D].
-
-    Unmapped (-1) table entries read page 0; callers mask those positions
-    via their slot-validity mask, so the garbage never enters softmax."""
+    """Materialize per-slot contiguous HEAD-MAJOR views
+    [L, B, Hkv, P*page, D] — the XLA-fallback path only (the kernel
+    path never calls this). Unmapped (-1) table entries read page 0;
+    callers mask those positions via their slot-validity mask."""
     table = jnp.maximum(cache["page_table"], 0)          # [B, P]
-    k = cache["k"][:, table]                             # [L, B, P, pg, H, D]
+    k = cache["k"][:, table]                     # [L, B, P, H, pg, D]
     v = cache["v"][:, table]
-    lyr, b, p, pg, h, d = k.shape
-    return k.reshape(lyr, b, p * pg, h, d), v.reshape(lyr, b, p * pg, h, d)
+    lyr, b, p, h, pg, d = k.shape
+    k = k.transpose(0, 1, 3, 2, 4, 5).reshape(lyr, b, h, p * pg, d)
+    v = v.transpose(0, 1, 3, 2, 4, 5).reshape(lyr, b, h, p * pg, d)
+    return k, v
 
 
 def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
@@ -80,9 +93,17 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     token_embeds [B, 1, D]; slots [B]: logical position to write (the
     page table rows must already map page slots[b] // page_size);
     slot_mask [B, P*page] validity incl. each row's new slot;
-    positions [B] rope positions. Returns (hidden [B, 1, D], cache)."""
+    positions [B] rope positions. Returns (hidden [B, 1, D], cache).
+
+    The layer scan reads the pool as a closure constant and attention
+    consumes it through a paged cache descriptor (format "paged"):
+    single-query steps route to the pallas paged decode kernel, other
+    shapes/backends gather the head-major view (cache_attention). The
+    in-flight token attends as a deferred k_new/v_new column and all
+    layers' rows commit in ONE dual-index scatter per plane after the
+    scan."""
     b = token_embeds.shape[0]
-    page = cache["k"].shape[2]
+    page = cache["k"].shape[3]
     table = jnp.maximum(cache["page_table"], 0)          # [B, P]
     bidx = jnp.arange(b)
     page_ix = table[bidx, slots // page]                 # [B] physical page
@@ -91,33 +112,32 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     from emu_tpu.ops import rope as R
     rows = R.gather_rope_rows(*rope_tables(cfg, max_pos), positions[:, None])
     cache_dtype = cache["k"].dtype
+    # the in-flight slot is attended via k_new/v_new, not the pool
+    cache_mask = jnp.logical_and(slot_mask,
+                                 jnp.arange(max_pos)[None] != slots[:, None])
 
-    k_view, v_view = _gather_slot_kv(cache)
-
-    # Pool writes are DEFERRED out of the layer scan (same design as
-    # llama.decode_step): routing the pool planes through scan xs/ys
-    # copied the ENTIRE page pool twice per step; now the scan only
-    # emits each layer's new row as ys and one dual-index scatter per
-    # plane commits all layers below.
     def body(x, xs):
-        p, k_vw, v_vw = xs
+        p, i = xs
 
-        def write(k_new, v_new):
-            # attention reads the pre-gathered view + the fresh token
-            k_full = k_vw.at[bidx, slots].set(k_new[:, 0].astype(k_vw.dtype))
-            v_full = v_vw.at[bidx, slots].set(v_new[:, 0].astype(v_vw.dtype))
-            return ((k_full.astype(x.dtype), v_full.astype(x.dtype)),
-                    (k_new[:, 0], v_new[:, 0]))
+        def defer(k_new, v_new):
+            kv = {"format": "paged", "k": cache["k"], "v": cache["v"],
+                  "page_table": table, "layer": i, "dtype": x.dtype,
+                  "k_new": k_new.transpose(0, 2, 1, 3),   # [B, Hkv, 1, D]
+                  "v_new": v_new.transpose(0, 2, 1, 3)}
+            return kv, jnp.stack([kv["k_new"], kv["v_new"]])
 
-        x, rows_new = _layer(p, cfg, x, rows, write, slot_mask,
-                             False)
+        x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
         return x, rows_new
 
-    x, (k_rows, v_rows) = jax.lax.scan(
-        body, token_embeds, (params["layers"], k_view, v_view))
-    # k_rows/v_rows [L, B, Hkv, D] → pool[l, page_ix[b], off[b]]
-    k_all = cache["k"].at[:, page_ix, off].set(k_rows.astype(cache_dtype))
-    v_all = cache["v"].at[:, page_ix, off].set(v_rows.astype(cache_dtype))
+    x, new_rows = jax.lax.scan(
+        body, token_embeds,
+        (params["layers"], jnp.arange(cfg.num_hidden_layers)))
+    # new_rows [L, 2, B, Hkv, 1, D] → pool[l, page_ix[b], :, off[b]]
+    kv = jnp.swapaxes(new_rows, 0, 1)                    # [2, L, B, Hkv, 1, D]
+    k_rows = jnp.moveaxis(kv[0][:, :, :, 0], 1, 0)       # [B, L, Hkv, D]
+    v_rows = jnp.moveaxis(kv[1][:, :, :, 0], 1, 0)
+    k_all = cache["k"].at[:, page_ix, :, off].set(k_rows.astype(cache_dtype))
+    v_all = cache["v"].at[:, page_ix, :, off].set(v_rows.astype(cache_dtype))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, {"k": k_all, "v": v_all,
                     "page_table": cache["page_table"]}
@@ -132,18 +152,17 @@ def paged_prefill_insert(params: dict, cfg: LlamaConfig, cache: dict,
     pages: [n] physical page indices covering ceil(S / page) pages.
     Returns (last-token hidden [1, D] post-norm, cache)."""
     s = inputs_embeds.shape[1]
-    page = cache["k"].shape[2]
+    page = cache["k"].shape[3]
     n = pages.shape[0]
     small = llama.init_cache(cfg, 1, n * page, dtype=cache["k"].dtype)
     hidden, small = llama.prefill(params, cfg, inputs_embeds,
                                   attention_mask, small)
-    # scatter the contiguous prefill kv into the pool pages (the dense
-    # scratch cache is head-major [L, 1, H, S, D]; the pool pages keep
-    # [page, H, D] token-major entries)
+    # scatter the contiguous prefill kv into the pool pages (both are
+    # head-major: dense scratch [L, 1, H, S, D] → pages [L, n, H, page, D])
     def to_pages(plane):
-        sd = plane[:, 0].transpose(0, 2, 1, 3)           # [L, S, H, D]
-        return sd[:, :n * page].reshape(
-            cfg.num_hidden_layers, n, page, cfg.kv_heads, cfg.head_dim)
+        sd = plane[:, 0, :, :n * page]                   # [L, H, S, D]
+        return sd.reshape(cfg.num_hidden_layers, cfg.kv_heads, n, page,
+                          cfg.head_dim).transpose(0, 2, 1, 3, 4)
 
     k_pages = to_pages(small["k"])
     v_pages = to_pages(small["v"])

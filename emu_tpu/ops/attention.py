@@ -189,6 +189,35 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
         scale = q.shape[-1] ** -0.5
     sq = q.shape[1]
     from emu_tpu.ops.flags import flag
+    pt = kv.get("page_table")
+    if pt is not None:
+        # paged pool [L, n_pages, Hkv, page, D] + table [B, P]: kernel
+        # path pages in-kernel via scalar prefetch; fallback gathers the
+        # head-major per-slot view (generation/paged_kv._gather_slot_kv
+        # semantics) and reuses the dense chain below
+        page = k.shape[3]
+        s_total = pt.shape[1] * page
+        if (sq == 1 and mask is None and not causal
+                and kv_valid is not None
+                and jax.default_backend() in ("tpu", "axon")
+                and flag("EMU_TPU_DECODE_KERNEL") != "0"):
+            from emu_tpu.ops.decode_attention import (
+                paged_decode_attention, paged_decode_attention_fits)
+            if paged_decode_attention_fits(q.shape[2], k.shape[2], page,
+                                           s_total, k.shape[-1],
+                                           k.dtype.itemsize, qn=sq):
+                return paged_decode_attention(q, k, v, pt, kv_valid,
+                                              scale=float(scale),
+                                              layer=layer, k_new=kn,
+                                              v_new=vn)
+        if layer is not None:
+            k = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+            layer = None
+        kk = k[pt].transpose(0, 2, 1, 3, 4)   # [B, Hkv, P, page, D]
+        vv = v[pt].transpose(0, 2, 1, 3, 4)
+        k = kk.reshape(pt.shape[0], k.shape[1], s_total, k.shape[3])
+        v = vv.reshape(pt.shape[0], v.shape[1], s_total, v.shape[3])
     if ((sq == 1 or (kn is not None and sq <= 32))
             and mask is None and not causal
             and kv_valid is not None

@@ -274,3 +274,134 @@ def decode_attention_fits(b: int, h: int, hkv: int, s: int, d: int,
     if d % 128 or s % 8 or h % hkv:
         return False
     return _plan(hkv, (h // hkv) * qn, s, d, itemsize) is not None
+
+
+# ---------------------------------------------------------------------------
+# Paged variant: KV lives in a shared page pool, chunks indexed through a
+# page table in scalar prefetch
+# ---------------------------------------------------------------------------
+
+
+def _kernel_paged(l_ref, t_ref, *rest, **kw):
+    """Same math as _kernel; the extra page-table scalar-prefetch ref is
+    consumed by the index_maps only."""
+    del t_ref
+    _kernel(l_ref, *rest, **kw)
+
+
+def _plan_paged(hkv: int, rep: int, page: int, s_total: int, d: int,
+                itemsize: int):
+    """(hb, cs) with cs | page (a k/v block never straddles two physical
+    pages — the index_map maps one (page, offset) pair per block). Mask
+    rides whole [nc_total, cs] rows, so its budget uses the LOGICAL
+    context length."""
+    for hb in [h for h in range(hkv, 0, -1) if hkv % h == 0]:
+        for cs in range(min(page, 512), 7, -8):
+            if page % cs:
+                continue
+            kv = 2 * 2 * hb * cs * d * itemsize
+            mask_b = s_total * 4
+            qo = 2 * 2 * hb * rep * d * 4
+            tmp = 6 * max(rep, 8) * cs * 4
+            if kv + mask_b + qo + tmp <= 14e6:
+                return hb, cs
+            break
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                           page_table: jax.Array, kv_valid: jax.Array, *,
+                           scale: float,
+                           layer: Optional[jax.Array] = None,
+                           k_new: Optional[jax.Array] = None,
+                           v_new: Optional[jax.Array] = None,
+                           interpret: bool = False) -> jax.Array:
+    """Single-query/verify-chunk attention straight out of a HEAD-MAJOR
+    page pool — the vLLM idea in pallas terms: no contiguous per-slot KV
+    copy ever exists. q [B, Sq, H, D]; k/v pools
+    [L, n_pages, Hkv, page, D] (bf16); page_table [B, P] physical page
+    per logical page (unmapped entries must be clamped to 0 by the
+    caller and masked via kv_valid [B, P*page]).
+
+    The page table rides SCALAR PREFETCH next to the layer index: the
+    kernel's k/v index_maps translate (row, chunk) -> (layer,
+    table[row, chunk//ppc], head block, chunk%ppc) at DMA issue time,
+    so blocks stream from scattered pages exactly like the dense
+    kernel's contiguous planes (same body: _kernel). k_new/v_new
+    [B, Hkv, Sq, D]: deferred-write extra columns, as decode_attention."""
+    b, qn, h, d = q.shape
+    assert qn == 1 or k_new is not None, \
+        "paged_decode_attention: Sq > 1 requires k_new/v_new"
+    if layer is None:
+        k, v = k[None], v[None]
+        layer = 0
+    hkv, page = k.shape[2], k.shape[3]
+    p_count = page_table.shape[1]
+    s = p_count * page
+    rep = h // hkv
+    m = rep * qn
+    plan = _plan_paged(hkv, m, page, s, d, k.dtype.itemsize)
+    assert plan is not None, "paged_decode_attention: no (hb, cs) fits VMEM"
+    hb, cs = plan
+    ppc = page // cs
+    nc = s // cs
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    table = page_table.astype(jnp.int32)
+
+    if qn == 1:
+        qg = q.reshape(b, hkv, rep, d)
+    else:
+        qg = q.reshape(b, qn, hkv, rep, d).transpose(0, 2, 3, 1, 4
+                                                     ).reshape(b, hkv, m, d)
+    mask = kv_valid.astype(jnp.float32).reshape(b, nc, cs)
+
+    grid = (b, hkv // hb, nc)
+    kv_map = lambda i, g, c, l, t: (l[0], t[i, c // ppc], g, c % ppc, 0)
+    in_specs = [
+        pl.BlockSpec((1, hb, m, d), lambda i, g, c, l, t: (i, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, 1, hb, cs, d), kv_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, 1, hb, cs, d), kv_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc, cs), lambda i, g, c, l, t: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qg, k, v, mask]
+    extra = k_new is not None
+    if extra:
+        in_specs += [pl.BlockSpec((1, hb, qn, d),
+                                  lambda i, g, c, l, t: (i, g, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_new, v_new]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_paged, scale=scale, hb=hb, rep=rep, qn=qn,
+                          quant=False, extra=extra),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, hb, m, d),
+                                   lambda i, g, c, l, t: (i, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((hb * m, d), jnp.float32),
+                            pltpu.VMEM((hb * m, 128), jnp.float32),
+                            pltpu.VMEM((hb * m, 128), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, m, d), q.dtype),
+        interpret=interpret,
+    )(lidx, table, *args)
+    if qn == 1:
+        return out.reshape(b, 1, h, d)
+    return out.reshape(b, hkv, rep, qn, d).transpose(0, 3, 1, 2, 4
+                                                     ).reshape(b, qn, h, d)
+
+
+def paged_decode_attention_fits(h: int, hkv: int, page: int, s_total: int,
+                                d: int, itemsize: int, qn: int = 1) -> bool:
+    """Tiling + VMEM feasibility for the paged decode kernel."""
+    if d % 128 or page % 8 or h % hkv:
+        return False
+    return _plan_paged(hkv, (h // hkv) * qn, page, s_total, d,
+                       itemsize) is not None

@@ -562,3 +562,111 @@ def test_decode_attention_emu2_33b_dims():
     out = np.asarray(decode_attention(q, k, v, valid, scale=scale,
                                       interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_attention_matches_dense():
+    """Paged kernel (page table in scalar prefetch, head-major pool) ≡
+    the dense decode kernel over the gathered contiguous view — shuffled
+    physical pages, GQA, deferred k_new/v_new column, layer stacking."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.decode_attention import (decode_attention,
+                                              paged_decode_attention,
+                                              paged_decode_attention_fits)
+
+    L, b, h, hkv, d = 2, 3, 8, 2, 128
+    page, P = 16, 4                     # 64 logical positions per row
+    n_pages = b * P + 2                 # spare pages stay unreferenced
+    s = P * page
+    ks = iter(jax.random.split(jax.random.PRNGKey(7), 6))
+    pool_k = jax.random.normal(next(ks), (L, n_pages, hkv, page, d))
+    pool_v = jax.random.normal(next(ks), (L, n_pages, hkv, page, d))
+    # shuffled, non-contiguous page assignment
+    perm = np.asarray(jax.random.permutation(next(ks), n_pages))[:b * P]
+    table = jnp.asarray(perm.reshape(b, P), jnp.int32)
+    q = jax.random.normal(next(ks), (b, 1, h, d))
+    lens = [s, 37, 18]
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray(lens)[:, None]).astype(jnp.int32)
+    k_new = jax.random.normal(next(ks), (b, hkv, 1, d))
+    v_new = jax.random.normal(next(ks), (b, hkv, 1, d))
+    scale = d ** -0.5
+
+    assert paged_decode_attention_fits(h, hkv, page, s, d, 4)
+
+    # oracle: gather the contiguous head-major view, dense kernel
+    def view(pool, li):
+        g = pool[li][table]                        # [B, P, Hkv, page, D]
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, hkv, s, d)
+
+    for li in range(L):
+        ref = np.asarray(decode_attention(
+            q, view(pool_k, li), view(pool_v, li), valid, scale=scale,
+            k_new=k_new, v_new=v_new, interpret=True))
+        out = np.asarray(paged_decode_attention(
+            q, pool_k, pool_v, table, valid, scale=scale,
+            layer=jnp.int32(li), k_new=k_new, v_new=v_new,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_paged_decode_step_kernel_route_matches_fallback():
+    """paged_decode_step through the kernel route (cache_attention paged
+    descriptor) ≡ the XLA gather fallback, on the interpret backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unittest import mock
+    from emu_tpu.config import LlamaConfig
+    from emu_tpu.generation.paged_kv import (PageAllocator,
+                                             init_paged_cache,
+                                             paged_decode_step,
+                                             paged_prefill_insert)
+    from emu_tpu.models import llama
+    from emu_tpu.ops import attention as A
+    from emu_tpu.ops import decode_attention as DA
+
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=None, vocab_size=64,
+                      extended_vocab_size=64,
+                      max_position_embeddings=128)   # head_dim 128
+    page, P = 8, 3
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    alloc = PageAllocator(8)
+    cache = init_paged_cache(cfg, 8, page, max_slots=2, pages_per_slot=P,
+                             dtype=jnp.float32)
+    prompts = [[5, 17, 3, 42, 8], [9, 2, 71, 4, 33, 12, 60]]
+    lasts = []
+    for slot, p in enumerate(prompts):
+        pages = jnp.asarray(alloc.alloc(-(-(len(p) + 4) // page)),
+                            jnp.int32)
+        emb = llama.embed(params, jnp.asarray(p)[None])
+        hid, cache = paged_prefill_insert(
+            params, cfg, cache, emb, jnp.ones((1, len(p)), jnp.int32),
+            pages, slot)
+        lasts.append(int(jnp.argmax(llama.logits(params, hid[0]))))
+
+    lengths = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    sm = jnp.arange(P * page)[None] <= lengths[:, None]
+    emb = llama.embed(params, jnp.asarray(lasts)[:, None])
+
+    hid_fb, _ = paged_decode_step(params, cfg, cache, emb, lengths, sm,
+                                  lengths)
+
+    # force the kernel route: pretend the backend is TPU, run the pallas
+    # kernel in interpret mode
+    real = DA.paged_decode_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return real(*a, **kw)
+
+    with mock.patch.object(jax, "default_backend", lambda: "tpu"), \
+         mock.patch.object(DA, "paged_decode_attention", interp), \
+         mock.patch.object(A, "cache_attention", A.cache_attention):
+        hid_k, _ = paged_decode_step(params, cfg, cache, emb, lengths, sm,
+                                     lengths)
+    np.testing.assert_allclose(np.asarray(hid_k), np.asarray(hid_fb),
+                               rtol=2e-5, atol=2e-5)
