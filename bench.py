@@ -660,7 +660,10 @@ def main():
                  "b32->b64, so the pool doubles once more)",
                  "llama-13B decode int8 GQA-8kv full-depth b8 PAGED KV "
                  "(page 128, bf16 pool; prices the vLLM-style page "
-                 "gather vs the dense head-major cache)")
+                 "gather vs the dense head-major cache)",
+                 "llama-13B decode int8 GQA-8kv full-depth b8 PAGED KV "
+                 "int8 pool (page 128, native int8 pages in-kernel, "
+                 "2x tokens-in-flight per pool byte)")
         if _budget_left() <= 0 or not any(want(s) for s in names):
             return
         try:
@@ -704,7 +707,7 @@ def main():
             else:
                 del p8
             gc.collect()
-            if want(names[1]) or want(names[6]) or want(names[7]):
+            if any(want(names[j]) for j in (1, 6, 7, 8)):
                 # GQA variable-budget lane LAST: it builds its own
                 # KV-lean decoder after the MHA weights are freed
                 # (13.3 GB x2 never coexist)
@@ -731,6 +734,11 @@ def main():
                 gc.collect()
                 run(names[7],
                     functools.partial(bench_paged_decode, params=pg),
+                    "tok/s/chip")
+                gc.collect()
+                run(names[8],
+                    functools.partial(bench_paged_decode, params=pg,
+                                      kv_quant=True),
                     "tok/s/chip")
                 del pg
                 gc.collect()
@@ -1287,7 +1295,7 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
 
 
 def bench_paged_decode(params=None, batch=8, prompt=128, new=64,
-                       page=128, kv_heads=8):
+                       page=128, kv_heads=8, kv_quant=False):
     """Paged-KV decode throughput (generation/paged_kv.py) vs the dense
     head-major cache at identical shapes — the last serving component
     without a chip number. Both paths run the SAME minimal jitted loop
@@ -1307,7 +1315,8 @@ def bench_paged_decode(params=None, batch=8, prompt=128, new=64,
     pps = -(-(prompt + new) // page)
     n_pages = batch * pps
     max_pos = pps * page
-    cache = init_paged_cache(cfg, n_pages, page, batch, pps)
+    cache = init_paged_cache(cfg, n_pages, page, batch, pps,
+                             quant=kv_quant)
     alloc = PageAllocator(n_pages)
     emb1 = llama.embed(params, jnp.full((1, prompt), 7, jnp.int32))
     mask1 = jnp.ones((1, prompt), jnp.int32)
@@ -1326,28 +1335,28 @@ def bench_paged_decode(params=None, batch=8, prompt=128, new=64,
     tok0 = jnp.stack(lasts).astype(jnp.int32)
 
     @jax.jit
-    def gen_paged(p, k, v, pt, tok):
+    def gen_paged(p, c, tok):
         def body(i, carry):
-            k, v, tok, acc = carry
+            c, tok, acc = carry
             pos = prompt + i
             slots = jnp.full((batch,), pos, jnp.int32)
             sm = jnp.arange(max_pos)[None, :] <= pos
             e = llama.embed(p, tok[:, None])
-            hid, c2 = paged_decode_step(
-                p, cfg, {"k": k, "v": v, "page_table": pt}, e, slots,
+            hid, c = paged_decode_step(
+                p, cfg, c, e, slots,
                 jnp.broadcast_to(sm, (batch, max_pos)), slots)
             tok = jnp.argmax(llama.logits(p, hid[:, 0]),
                              axis=-1).astype(jnp.int32)
-            return c2["k"], c2["v"], tok, acc + jnp.sum(tok)
-        _, _, _, acc = jax.lax.fori_loop(
-            0, new, body, (k, v, tok, jnp.int32(0)))
+            return c, tok, acc + jnp.sum(tok)
+        _, _, acc = jax.lax.fori_loop(
+            0, new, body, (c, tok, jnp.int32(0)))
         return acc
 
-    dt = _time_call(lambda: gen_paged(params, cache["k"], cache["v"],
-                                      cache["page_table"], tok0))
+    dt = _time_call(lambda: gen_paged(params, cache, tok0))
 
     # dense comparator: identical loop body over the head-major cache
-    dcache = llama.init_cache(cfg, batch, max_pos, dtype=jnp.bfloat16)
+    dcache = llama.init_cache(cfg, batch, max_pos, dtype=jnp.bfloat16,
+                              quant=kv_quant)
     embb = llama.embed(params, jnp.full((batch, prompt), 7, jnp.int32))
     hid, dcache = jax.jit(lambda p, e, c: llama.prefill(
         p, cfg, e, jnp.ones((batch, prompt), jnp.int32), c))(

@@ -42,16 +42,29 @@ from emu_tpu.ops import layers as L
 
 def init_paged_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
                      max_slots: int, pages_per_slot: int,
-                     dtype=jnp.bfloat16) -> dict:
+                     dtype=jnp.bfloat16, quant: bool = False) -> dict:
     """Pool + page tables. Entry -1 in a table = unmapped (reads page 0,
-    masked out by the caller's slot mask)."""
+    masked out by the caller's slot mask).
+
+    quant=True stores int8 values with per-(head, token) f32 scale pages
+    [L, n_pages, Hkv, page] — 2x the tokens-in-flight per pool byte; the
+    paged kernel consumes the int8 pages natively (the scale planes are
+    gathered to the logical view once per step and fold into the
+    score/PV epilogue exactly like the dense quantized cache)."""
     shape = (cfg.num_hidden_layers, n_pages, cfg.kv_heads, page_size,
              cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+    out = {
         "page_table": jnp.full((max_slots, pages_per_slot), -1, jnp.int32),
     }
+    if quant:
+        out["k"] = jnp.zeros(shape, jnp.int8)
+        out["v"] = jnp.zeros(shape, jnp.int8)
+        out["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        out["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    else:
+        out["k"] = jnp.zeros(shape, dtype)
+        out["v"] = jnp.zeros(shape, dtype)
+    return out
 
 
 class PageAllocator:
@@ -73,15 +86,33 @@ class PageAllocator:
 def _gather_slot_kv(cache: dict) -> Tuple[jax.Array, ...]:
     """Materialize per-slot contiguous HEAD-MAJOR views
     [L, B, Hkv, P*page, D] — the XLA-fallback path only (the kernel
-    path never calls this). Unmapped (-1) table entries read page 0;
-    callers mask those positions via their slot-validity mask."""
+    path never calls this). int8 pools come back DEQUANTIZED (bf16).
+    Unmapped (-1) table entries read page 0; callers mask those
+    positions via their slot-validity mask."""
     table = jnp.maximum(cache["page_table"], 0)          # [B, P]
     k = cache["k"][:, table]                     # [L, B, P, H, pg, D]
     v = cache["v"][:, table]
     lyr, b, p, h, pg, d = k.shape
     k = k.transpose(0, 1, 3, 2, 4, 5).reshape(lyr, b, h, p * pg, d)
     v = v.transpose(0, 1, 3, 2, 4, 5).reshape(lyr, b, h, p * pg, d)
+    if "k_scale" in cache:
+        ks, vs = _gather_slot_scales(cache, table)
+        k = k.astype(jnp.bfloat16) * ks.astype(jnp.bfloat16)[..., None]
+        v = v.astype(jnp.bfloat16) * vs.astype(jnp.bfloat16)[..., None]
     return k, v
+
+
+def _gather_slot_scales(cache: dict, table: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Logical-view scale planes [L, B, Hkv, P*page] (f32) gathered
+    through the page table — a few MB even at 13B/2k, done ONCE per
+    decode step outside the layer scan."""
+    ks = cache["k_scale"][:, table]              # [L, B, P, H, pg]
+    vs = cache["v_scale"][:, table]
+    lyr, b, p, h, pg = ks.shape
+    ks = ks.transpose(0, 1, 3, 2, 4).reshape(lyr, b, h, p * pg)
+    vs = vs.transpose(0, 1, 3, 2, 4).reshape(lyr, b, h, p * pg)
+    return ks, vs
 
 
 def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
@@ -112,6 +143,9 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
     from emu_tpu.ops import rope as R
     rows = R.gather_rope_rows(*rope_tables(cfg, max_pos), positions[:, None])
     cache_dtype = cache["k"].dtype
+    quant = "k_scale" in cache
+    if quant:  # logical-view scale planes, gathered once per step
+        ks_view, vs_view = _gather_slot_scales(cache, table)
     # the in-flight slot is attended via k_new/v_new, not the pool
     cache_mask = jnp.logical_and(slot_mask,
                                  jnp.arange(max_pos)[None] != slots[:, None])
@@ -124,6 +158,9 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
                   "page_table": table, "layer": i, "dtype": x.dtype,
                   "k_new": k_new.transpose(0, 2, 1, 3),   # [B, Hkv, 1, D]
                   "v_new": v_new.transpose(0, 2, 1, 3)}
+            if quant:
+                kv["k_scale"] = ks_view
+                kv["v_scale"] = vs_view
             return kv, jnp.stack([kv["k_new"], kv["v_new"]])
 
         x, rows_new = _layer(p, cfg, x, rows, defer, cache_mask, False)
@@ -134,13 +171,24 @@ def paged_decode_step(params: dict, cfg: LlamaConfig, cache: dict,
         (params["layers"], jnp.arange(cfg.num_hidden_layers)))
     # new_rows [L, 2, B, Hkv, 1, D] → pool[l, page_ix[b], :, off[b]]
     kv = jnp.swapaxes(new_rows, 0, 1)                    # [2, L, B, Hkv, 1, D]
-    k_rows = jnp.moveaxis(kv[0][:, :, :, 0], 1, 0)       # [B, L, Hkv, D]
-    v_rows = jnp.moveaxis(kv[1][:, :, :, 0], 1, 0)
-    k_all = cache["k"].at[:, page_ix, :, off].set(k_rows.astype(cache_dtype))
-    v_all = cache["v"].at[:, page_ix, :, off].set(v_rows.astype(cache_dtype))
+    out = {"page_table": cache["page_table"]}
+    if quant:
+        vals, scale = llama.kv_quantize(kv)              # [2, L, B, Hkv, 1]
+        for t, key in enumerate(("k", "v")):
+            rows_t = jnp.moveaxis(vals[t][:, :, :, 0], 1, 0)  # [B, L, Hkv, D]
+            srows = jnp.moveaxis(scale[t][:, :, :, 0], 1, 0)  # [B, L, Hkv]
+            out[key] = cache[key].at[:, page_ix, :, off].set(rows_t)
+            out[key + "_scale"] = cache[key + "_scale"].at[
+                :, page_ix, :, off].set(srows)
+    else:
+        k_rows = jnp.moveaxis(kv[0][:, :, :, 0], 1, 0)   # [B, L, Hkv, D]
+        v_rows = jnp.moveaxis(kv[1][:, :, :, 0], 1, 0)
+        out["k"] = cache["k"].at[:, page_ix, :, off].set(
+            k_rows.astype(cache_dtype))
+        out["v"] = cache["v"].at[:, page_ix, :, off].set(
+            v_rows.astype(cache_dtype))
     hidden = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all,
-                    "page_table": cache["page_table"]}
+    return hidden, out
 
 
 def paged_prefill_insert(params: dict, cfg: LlamaConfig, cache: dict,
@@ -154,7 +202,9 @@ def paged_prefill_insert(params: dict, cfg: LlamaConfig, cache: dict,
     s = inputs_embeds.shape[1]
     page = cache["k"].shape[3]
     n = pages.shape[0]
-    small = llama.init_cache(cfg, 1, n * page, dtype=cache["k"].dtype)
+    quant = "k_scale" in cache
+    small = llama.init_cache(cfg, 1, n * page, dtype=cache["k"].dtype,
+                             quant=quant)
     hidden, small = llama.prefill(params, cfg, inputs_embeds,
                                   attention_mask, small)
     # scatter the contiguous prefill kv into the pool pages (both are
@@ -164,10 +214,18 @@ def paged_prefill_insert(params: dict, cfg: LlamaConfig, cache: dict,
         return sd.reshape(cfg.num_hidden_layers, cfg.kv_heads, n, page,
                           cfg.head_dim).transpose(0, 2, 1, 3, 4)
 
-    k_pages = to_pages(small["k"])
-    v_pages = to_pages(small["v"])
-    k = cache["k"].at[:, pages].set(k_pages)
-    v = cache["v"].at[:, pages].set(v_pages)
+    out = {}
+    out["k"] = cache["k"].at[:, pages].set(to_pages(small["k"]))
+    out["v"] = cache["v"].at[:, pages].set(to_pages(small["v"]))
+    if quant:
+        def to_scale_pages(plane):
+            sd = plane[:, 0, :, :n * page]               # [L, H, S]
+            return sd.reshape(cfg.num_hidden_layers, cfg.kv_heads, n,
+                              page).transpose(0, 2, 1, 3)
+        out["k_scale"] = cache["k_scale"].at[:, pages].set(
+            to_scale_pages(small["k_scale"]))
+        out["v_scale"] = cache["v_scale"].at[:, pages].set(
+            to_scale_pages(small["v_scale"]))
     pt = cache["page_table"].at[slot].set(-1)
-    pt = pt.at[slot, :n].set(pages)
-    return hidden[:, -1], {"k": k, "v": v, "page_table": pt}
+    out["page_table"] = pt.at[slot, :n].set(pages)
+    return hidden[:, -1], out

@@ -208,11 +208,19 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
                                            k.dtype.itemsize, qn=sq):
                 return paged_decode_attention(q, k, v, pt, kv_valid,
                                               scale=float(scale),
+                                              k_scale=ks, v_scale=vs,
                                               layer=layer, k_new=kn,
                                               v_new=vn)
         if layer is not None:
             k = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
             v = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+            if ks is not None:
+                # scale planes are the PRE-GATHERED logical views
+                # [L, B, Hkv, S] (paged_kv._gather_slot_scales)
+                ks = jax.lax.dynamic_index_in_dim(ks, layer, 0,
+                                                  keepdims=False)
+                vs = jax.lax.dynamic_index_in_dim(vs, layer, 0,
+                                                  keepdims=False)
             layer = None
         kk = k[pt].transpose(0, 2, 1, 3, 4)   # [B, Hkv, P, page, D]
         vv = v[pt].transpose(0, 2, 1, 3, 4)

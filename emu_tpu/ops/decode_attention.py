@@ -300,10 +300,10 @@ def _plan_paged(hkv: int, rep: int, page: int, s_total: int, d: int,
             if page % cs:
                 continue
             kv = 2 * 2 * hb * cs * d * itemsize
-            mask_b = s_total * 4
+            scales = 2 * hb * s_total * 4 + s_total * 4
             qo = 2 * 2 * hb * rep * d * 4
             tmp = 6 * max(rep, 8) * cs * 4
-            if kv + mask_b + qo + tmp <= 14e6:
+            if kv + scales + qo + tmp <= 14e6:
                 return hb, cs
             break
     return None
@@ -313,6 +313,8 @@ def _plan_paged(hkv: int, rep: int, page: int, s_total: int, d: int,
 def paged_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            page_table: jax.Array, kv_valid: jax.Array, *,
                            scale: float,
+                           k_scale: Optional[jax.Array] = None,
+                           v_scale: Optional[jax.Array] = None,
                            layer: Optional[jax.Array] = None,
                            k_new: Optional[jax.Array] = None,
                            v_new: Optional[jax.Array] = None,
@@ -329,12 +331,21 @@ def paged_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     table[row, chunk//ppc], head block, chunk%ppc) at DMA issue time,
     so blocks stream from scattered pages exactly like the dense
     kernel's contiguous planes (same body: _kernel). k_new/v_new
-    [B, Hkv, Sq, D]: deferred-write extra columns, as decode_attention."""
+    [B, Hkv, Sq, D]: deferred-write extra columns, as decode_attention.
+
+    int8 pools: values page in-kernel like bf16; k_scale/v_scale are the
+    PRE-GATHERED logical-view planes [L, B, Hkv, P*page] (f32 — the
+    caller gathers them through the table once per step outside the
+    layer scan: for the whole 13B cache that is a few MB, negligible
+    next to the weight stream, and it keeps the kernel's whole-row
+    resident scale layout identical to the dense kernel's)."""
     b, qn, h, d = q.shape
     assert qn == 1 or k_new is not None, \
         "paged_decode_attention: Sq > 1 requires k_new/v_new"
     if layer is None:
         k, v = k[None], v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
         layer = 0
     hkv, page = k.shape[2], k.shape[3]
     p_count = page_table.shape[1]
@@ -375,10 +386,18 @@ def paged_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                   lambda i, g, c, l, t: (i, g, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
         args += [k_new, v_new]
+    quant = k_scale is not None
+    if quant:
+        l_, b_, hkv_, _ = k_scale.shape
+        in_specs += [pl.BlockSpec((None, 1, hb, nc, cs),
+                                  lambda i, g, c, l, t: (l[0], i, g, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_scale.astype(jnp.float32).reshape(l_, b_, hkv_, nc, cs),
+                 v_scale.astype(jnp.float32).reshape(l_, b_, hkv_, nc, cs)]
 
     out = pl.pallas_call(
         functools.partial(_kernel_paged, scale=scale, hb=hb, rep=rep, qn=qn,
-                          quant=False, extra=extra),
+                          quant=quant, extra=extra),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

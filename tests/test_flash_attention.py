@@ -670,3 +670,56 @@ def test_paged_decode_step_kernel_route_matches_fallback():
                                      lengths)
     np.testing.assert_allclose(np.asarray(hid_k), np.asarray(hid_fb),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_attention_int8_matches_dense():
+    """int8 paged kernel (native int8 pages + pre-gathered logical
+    scale planes) ≡ dense int8 kernel over the gathered view."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.decode_attention import (decode_attention,
+                                              paged_decode_attention)
+
+    L, b, h, hkv, d = 2, 2, 4, 2, 128
+    page, P = 16, 3
+    n_pages = b * P
+    s = P * page
+    ks_it = iter(jax.random.split(jax.random.PRNGKey(11), 8))
+    pool_k = jax.random.randint(next(ks_it), (L, n_pages, hkv, page, d),
+                                -127, 128, jnp.int8)
+    pool_v = jax.random.randint(next(ks_it), (L, n_pages, hkv, page, d),
+                                -127, 128, jnp.int8)
+    ksc = jax.random.uniform(next(ks_it), (L, n_pages, hkv, page),
+                             minval=0.01, maxval=0.03)
+    vsc = jax.random.uniform(next(ks_it), (L, n_pages, hkv, page),
+                             minval=0.01, maxval=0.03)
+    perm = np.asarray(jax.random.permutation(next(ks_it), n_pages))
+    table = jnp.asarray(perm.reshape(b, P), jnp.int32)
+    q = jax.random.normal(next(ks_it), (b, 1, h, d))
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray([s, 29])[:, None]).astype(jnp.int32)
+    k_new = jax.random.normal(next(ks_it), (b, hkv, 1, d))
+    v_new = jax.random.normal(next(ks_it), (b, hkv, 1, d))
+    scale = d ** -0.5
+
+    # pre-gathered logical scale views [L, B, Hkv, S]
+    def sview(sc):
+        g = sc[:, table]                          # [L, B, P, Hkv, page]
+        return g.transpose(0, 1, 3, 2, 4).reshape(L, b, hkv, s)
+
+    def view(pool, li):
+        g = pool[li][table]                       # [B, P, Hkv, page, D]
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, hkv, s, d)
+
+    ks_l, vs_l = sview(ksc), sview(vsc)
+    for li in range(L):
+        ref = np.asarray(decode_attention(
+            q, view(pool_k, li), view(pool_v, li), valid, scale=scale,
+            k_scale=ks_l[li], v_scale=vs_l[li], k_new=k_new, v_new=v_new,
+            interpret=True))
+        out = np.asarray(paged_decode_attention(
+            q, pool_k, pool_v, table, valid, scale=scale,
+            k_scale=ks_l, v_scale=vs_l, layer=jnp.int32(li),
+            k_new=k_new, v_new=v_new, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

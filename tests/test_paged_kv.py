@@ -121,3 +121,57 @@ def test_allocator_exhaustion():
         assert False
     except MemoryError:
         pass
+
+
+def test_paged_quant_matches_dense_quant():
+    """int8 paged pool ≡ the dense int8 KV cache (identical
+    quantization machinery: prefill via a quant scratch cache, decode
+    rows via llama.kv_quantize) — token-exact for the same request."""
+    params = llama.init(jax.random.PRNGKey(0), CFG)
+    prompt = [9, 2, 71, 4, 33, 12, 60, 7, 25]
+    n_steps = 6
+
+    # dense int8 oracle
+    max_len = 32
+    cache = llama.init_cache(CFG, 1, max_len, quant=True)
+    emb = llama.embed(params, jnp.asarray(prompt)[None])
+    mask = jnp.ones((1, len(prompt)), jnp.int32)
+    hid, cache = llama.prefill(params, CFG, emb, mask, cache)
+    tok = int(jnp.argmax(llama.logits(params, hid[0, -1])))
+    want = [tok]
+    pos = len(prompt)
+    for _ in range(n_steps - 1):
+        emb = llama.embed(params, jnp.asarray([[tok]]))
+        sm = (jnp.arange(max_len) <= pos)[None]
+        hid, cache = llama.decode_step(params, CFG, cache, emb,
+                                       jnp.int32(pos), sm,
+                                       jnp.asarray([pos]))
+        tok = int(jnp.argmax(llama.logits(params, hid[0, 0])))
+        want.append(tok)
+        pos += 1
+
+    # paged int8
+    alloc = PageAllocator(8)
+    pcache = init_paged_cache(CFG, 8, PAGE, max_slots=1, pages_per_slot=6,
+                              quant=True)
+    assert pcache["k"].dtype == jnp.int8
+    pages = jnp.asarray(alloc.alloc(-(-(len(prompt) + n_steps) // PAGE)),
+                        jnp.int32)
+    emb = llama.embed(params, jnp.asarray(prompt)[None])
+    hid, pcache = paged_prefill_insert(
+        params, CFG, pcache, emb, jnp.ones((1, len(prompt)), jnp.int32),
+        pages, 0)
+    tok = int(jnp.argmax(llama.logits(params, hid[0])))
+    got = [tok]
+    length = len(prompt)
+    max_pos = 6 * PAGE
+    for _ in range(n_steps - 1):
+        slots = jnp.asarray([length], jnp.int32)
+        sm = (jnp.arange(max_pos)[None] <= length)
+        emb = llama.embed(params, jnp.asarray([[tok]]))
+        hid, pcache = paged_decode_step(params, CFG, pcache, emb, slots,
+                                        sm, slots)
+        tok = int(jnp.argmax(llama.logits(params, hid[0, 0])))
+        got.append(tok)
+        length += 1
+    assert got == want, (got, want)
