@@ -139,8 +139,26 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if k.shape[2] != q.shape[2]:
-        return _xla_attention_gqa(q, k, v, bias, mask, kv_valid, scale,
-                                  causal)
+        # GQA: long causal self-attention (prefill) repeats K/V to full
+        # heads and STREAMS through the flash kernel. The grouped einsum
+        # materializes [B, Hkv, rep, Sq, Skv] fp32 logits — 4.8 GB at
+        # 2k-b8 13B / 9.8 GB at 4k-b4, which is what OOMed every GQA
+        # long-context lane; the repeat is a transient 2×[B, S, H, D]
+        # bf16 (168 MB at 2k-b8) and prefill is FLOP-bound anyway.
+        # Decode/short shapes keep the no-repeat grouped path (the point
+        # of GQA's lean cache).
+        if (causal and bias is None and mask is None
+                and q.shape[1] == k.shape[1] and q.shape[1] >= 512
+                and q.shape[-1] <= 256
+                and jax.default_backend() in ("tpu", "axon")):
+            rep = q.shape[2] // k.shape[2]
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+            # fall through to the standard dispatch (flash at these
+            # shapes)
+        else:
+            return _xla_attention_gqa(q, k, v, bias, mask, kv_valid,
+                                      scale, causal)
     if backend is None:
         backend = _auto_backend(q, k, bias, mask, kv_valid, causal)
     if backend == "flash":
@@ -197,7 +215,8 @@ def cache_attention(q, kv: dict, *, kv_valid=None, mask=None,
         # semantics) and reuses the dense chain below
         page = k.shape[3]
         s_total = pt.shape[1] * page
-        if (sq == 1 and mask is None and not causal
+        if ((sq == 1 or (kn is not None and sq <= 32))
+                and mask is None and not causal
                 and kv_valid is not None
                 and jax.default_backend() in ("tpu", "axon")
                 and flag("EMU_TPU_DECODE_KERNEL") != "0"):

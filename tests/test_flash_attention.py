@@ -723,3 +723,76 @@ def test_paged_decode_attention_int8_matches_dense():
             k_scale=ks_l, v_scale=vs_l, layer=jnp.int32(li),
             k_new=k_new, v_new=v_new, interpret=True))
         np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_paged_decode_attention_verify_chunk():
+    """Sq > 1 (speculative verify chunk) through the paged kernel ≡ the
+    dense kernel over the gathered view — intra-chunk causal triangle
+    included."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.decode_attention import (decode_attention,
+                                              paged_decode_attention)
+
+    b, h, hkv, d, qn = 2, 4, 2, 128, 4
+    page, P = 16, 2
+    n_pages = b * P
+    s = P * page
+    ks = iter(jax.random.split(jax.random.PRNGKey(21), 6))
+    pool_k = jax.random.normal(next(ks), (1, n_pages, hkv, page, d))
+    pool_v = jax.random.normal(next(ks), (1, n_pages, hkv, page, d))
+    perm = np.asarray(jax.random.permutation(next(ks), n_pages))
+    table = jnp.asarray(perm.reshape(b, P), jnp.int32)
+    q = jax.random.normal(next(ks), (b, qn, h, d))
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray([20, 9])[:, None]).astype(jnp.int32)
+    k_new = jax.random.normal(next(ks), (b, hkv, qn, d))
+    v_new = jax.random.normal(next(ks), (b, hkv, qn, d))
+    scale = d ** -0.5
+
+    def view(pool):
+        g = pool[0][table]
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, hkv, s, d)
+
+    ref = np.asarray(decode_attention(q, view(pool_k), view(pool_v), valid,
+                                      scale=scale, k_new=k_new, v_new=v_new,
+                                      interpret=True))
+    out = np.asarray(paged_decode_attention(q, pool_k, pool_v, table, valid,
+                                            scale=scale, layer=jnp.int32(0),
+                                            k_new=k_new, v_new=v_new,
+                                            interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_gqa_prefill_flash_repeat_matches_grouped():
+    """The GQA long-prefill route (repeat K/V to full heads -> flash
+    kernel) ≡ the no-repeat grouped einsum — the dense grouped path
+    materializes [B, Hkv, rep, S, S] fp32 logits (4.8 GB at 2k-b8 13B,
+    the OOM behind every GQA long-context lane), so long causal prefill
+    streams through flash instead."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emu_tpu.ops.attention import _xla_attention_gqa
+    from emu_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, hkv, d = 2, 512, 8, 2, 64
+    ks = iter(jax.random.split(jax.random.PRNGKey(5), 3))
+    q = jax.random.normal(next(ks), (b, s, h, d))
+    k = jax.random.normal(next(ks), (b, s, hkv, d))
+    v = jax.random.normal(next(ks), (b, s, hkv, d))
+    valid = (jnp.arange(s)[None, :]
+             < jnp.asarray([s, 300])[:, None]).astype(jnp.int32)
+    scale = d ** -0.5
+    ref = np.asarray(_xla_attention_gqa(q, k, v, None, None, valid, scale,
+                                        True))
+    rep = h // hkv
+    out = np.asarray(flash_attention(q, jnp.repeat(k, rep, axis=2),
+                                     jnp.repeat(v, rep, axis=2),
+                                     kv_valid=valid, scale=scale,
+                                     causal=True, interpret=True))
+    # compare only valid query rows (invalid rows are masked garbage
+    # downstream)
+    m = np.asarray(valid, bool)
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-5, atol=2e-5)
