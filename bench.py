@@ -663,7 +663,17 @@ def main():
                  "gather vs the dense head-major cache)",
                  "llama-13B decode int8 GQA-8kv full-depth b8 PAGED KV "
                  "int8 pool (page 128, native int8 pages in-kernel, "
-                 "2x tokens-in-flight per pool byte)")
+                 "2x tokens-in-flight per pool byte)",
+                 "serving continuous-batching int8 GQA-8kv 16 slots "
+                 "1k-prompt CHUNKED prefill (chunk 256 mixed steps, 48 "
+                 "reqs, budgets 32..128, int8 KV — long prompts stream "
+                 "into their slot while the pool keeps decoding; needs "
+                 "the r5 GQA flash-prefill fix)",
+                 "serving continuous-batching int8 GQA-8kv 16 slots "
+                 "1k-prompt BUCKET-1024 batched admission (48 reqs, "
+                 "budgets 32..128, int8 KV — the engine's product "
+                 "long-prompt mode: fused whole-prompt prefill per "
+                 "arrival burst; chunked is the beyond-bucket fallback)")
         if _budget_left() <= 0 or not any(want(s) for s in names):
             return
         try:
@@ -707,7 +717,7 @@ def main():
             else:
                 del p8
             gc.collect()
-            if any(want(names[j]) for j in (1, 6, 7, 8)):
+            if any(want(names[j]) for j in (1, 6, 7, 8, 9, 10)):
                 # GQA variable-budget lane LAST: it builds its own
                 # KV-lean decoder after the MHA weights are freed
                 # (13.3 GB x2 never coexist)
@@ -732,6 +742,20 @@ def main():
                 run(names[8],
                     functools.partial(bench_paged_decode, params=pg,
                                       kv_quant=True),
+                    "tok/s/chip")
+                gc.collect()
+                run(names[9],
+                    functools.partial(bench_continuous_serving, params=pg,
+                                      slots=16, prompt=1024, new_max=128,
+                                      kv_heads=8, chunk_size=256,
+                                      factors=(2, 3, 4, 5, 6, 7, 8, 8)),
+                    "tok/s/chip")
+                gc.collect()
+                run(names[10],
+                    functools.partial(bench_continuous_serving, params=pg,
+                                      slots=16, prompt=1024, new_max=128,
+                                      kv_heads=8,
+                                      factors=(2, 3, 4, 5, 6, 7, 8, 8)),
                     "tok/s/chip")
                 gc.collect()
                 # 64-slot pool: same KV-lean decoder, KV doubles to
@@ -1180,7 +1204,8 @@ def bench_emu2_chat(batch=8, layers=16, new=20, quant="int8",
 
 def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
                              new_max=64, factors=(2, 3, 4, 5, 6, 7, 8, 8),
-                             max_prefill_rows=None, kv_heads=None):
+                             max_prefill_rows=None, kv_heads=None,
+                             chunk_size=None):
     """Continuous-batching serving throughput (VERDICT r4 item 1a): a
     ContinuousEngine slot pool over the full-depth int8 13B decoder
     serves 3*slots staggered requests with UNEQUAL decode budgets
@@ -1211,9 +1236,14 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
     # the global jit cache via the old static-self programs — the r5
     # RESOURCE_EXHAUSTED — and steady-state serving reuses the pool
     # anyway)
+    # chunked (Sarathi-style) mode: prompts longer than the largest
+    # prefill bucket stream into their slot chunk_size tokens per MIXED
+    # step (other slots keep decoding)
+    buckets = (chunk_size,) if chunk_size else (prompt,)
     eng = ContinuousEngine(params, cfg, max_slots=slots,
                            max_len=prompt + new_max,
-                           prefill_buckets=(prompt,),
+                           prefill_buckets=buckets,
+                           chunk_size=chunk_size,
                            eos_token_id=None, kv_cache_quant=True,
                            max_prefill_rows=max_prefill_rows)
 
@@ -1236,11 +1266,25 @@ def bench_continuous_serving(params=None, slots=8, block=16, prompt=128,
         while queue or any(r is not None for r in eng.slot_req) \
                 or pending:
             if queue and eng.free_slots():
+                if chunk_size and pending:
+                    # chunked admissions interleave step() token appends
+                    # with block recording — flush queued blocks first so
+                    # per-slot token order stays dispatch-ordered
+                    eng.record_blocks(pending)
+                    pending = []
+                    note_done()
                 # batched admission: ONE prefill program per arrival
                 # burst, first-token fetches deferred to record time
                 n = min(eng.free_slots(), len(queue))
                 eng.submit_many([(embeds, mask, queue.pop(0))
                                  for _ in range(n)])
+                # long prompts parked as chunked admissions: drain them
+                # in one pass (N mixed-step dispatches + ONE combined
+                # fetch — per-chunk step() fetches measured ~10x the
+                # chunks' own compute on this tunnel)
+                if eng._admissions:
+                    stats["steps"] += eng.drain_admissions()
+                    note_done()
             if any(r is not None for r in eng.slot_req):
                 # budget-aware sizing: blocks end at the next scheduled
                 # retirement; recording stays exactly ONE block behind

@@ -552,6 +552,71 @@ class ContinuousEngine:
                 self.slot_req[slot] = None
         return advanced
 
+    def drain_admissions(self) -> int:
+        """Dispatch mixed steps for EVERY queued chunked admission
+        back-to-back WITHOUT per-step host fetches, then replay the
+        bookkeeping after one combined fetch.
+
+        step() fetches after every chunk; on dispatch-latency-bound
+        backends (the tunneled TPU: 25 ms .. seconds per fetch) that
+        made chunked admission ~10× slower than its own compute
+        (measured r5: a 16-slot 1k-prompt GQA pool spent 198 s/run in
+        192 synchronous mixed-step fetches vs ~40 s compute). Device
+        programs queue asynchronously, so N chunks cost N dispatches +
+        ONE fetch. Bookkeeping replays in dispatch order; decode rows
+        that finish mid-drain retire from the post-drain active flags
+        (same outcome as per-step retirement — no admission targets an
+        occupied slot). Returns the number of mixed steps dispatched."""
+        if not self._admissions:
+            return 0
+        import numpy as np
+        recs = []
+        while self._admissions:
+            a = self._admissions[0]
+            q = self.chunk_size
+            chunk = a["embeds"][a["offset"]:a["offset"] + q]
+            qlen = chunk.shape[0]
+            final = a["offset"] + qlen >= a["embeds"].shape[0]
+            if qlen < q:
+                chunk = np.pad(chunk, ((0, q - qlen), (0, 0)))
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, out_tok, was_active, first = self._mixed_jit(
+                self.params, self.state, jnp.asarray(chunk),
+                jnp.int32(a["slot"]), jnp.int32(qlen), final,
+                jnp.int32(a["max_new"]), jnp.float32(a.get("temp", 0.0)),
+                sub)
+            for slot, rid in enumerate(self.slot_req):
+                if rid is not None and slot != a["slot"]:
+                    self._dispatched[slot] += 1
+            recs.append((out_tok, was_active, first, final, a))
+            a["offset"] += qlen
+            if final:
+                self._admissions.pop(0)
+                self._dispatched[a["slot"]] = 1
+        fetched = jax.device_get(
+            [(r[0], r[1], r[2]) for r in recs] + [self.state["active"]])
+        still = np.asarray(fetched[-1]).astype(bool)
+        for (_, _, _, final, a), (out_tok, was_active, first) in zip(
+                recs, fetched[:-1]):
+            was_active = np.asarray(was_active).astype(bool)
+            out_tok = np.asarray(out_tok)
+            for slot, rid in enumerate(self.slot_req):
+                if rid is not None and was_active[slot]:
+                    self.requests[rid].tokens.append(int(out_tok[slot]))
+            if final:
+                req = a["req"]
+                first = int(first)
+                req.tokens.append(first)
+                if first == self.eos or a["max_new"] <= 1:
+                    req.done = True
+                    self.slot_req[a["slot"]] = None
+        for slot, rid in enumerate(self.slot_req):
+            if rid is not None and not still[slot] \
+                    and self.requests[rid].tokens:
+                self.requests[rid].done = True
+                self.slot_req[slot] = None
+        return len(recs)
+
     def step(self) -> int:
         """Advance every active slot one token. Returns #slots advanced."""
         if self._admissions:

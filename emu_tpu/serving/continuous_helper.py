@@ -152,8 +152,18 @@ class ContinuousChatHelper:
                 if burst:
                     self._admit(burst)
                 if getattr(self.engine, "_admissions", None):
-                    # chunked prefills stream through single MIXED steps
-                    self.engine.step()
+                    # chunked prefills: record any outstanding block
+                    # FIRST (its tokens predate the mixed steps — mixed
+                    # _record appends would otherwise land out of
+                    # dispatch order for slots active in both), then
+                    # drain every queued chunk with one combined fetch
+                    # (per-chunk step() fetches were ~10x the chunks'
+                    # own compute on the tunnel — see
+                    # ContinuousEngine.drain_admissions)
+                    if pending_blk is not None:
+                        self.engine.record_block(pending_blk)
+                        pending_blk = None
+                    self.engine.drain_admissions()
                     self._resolve_finished()
                     continue
                 if any(r is not None for r in self.engine.slot_req):

@@ -466,3 +466,40 @@ def test_submit_many_chunked_fallthrough():
     res = eng.run_until_drained()
     assert res[ids[0]] == want_s, (res[ids[0]], want_s)
     assert res[ids[1]] == want_l, (res[ids[1]], want_l)
+
+def test_drain_admissions_matches_step_loop():
+    """drain_admissions (N mixed dispatches + ONE combined fetch) must
+    produce the exact token streams of the per-chunk step() loop — for
+    the admitting request AND the already-decoding slots, including an
+    admission whose first token retires it immediately (max_new=1)."""
+    params, embeds_for = _setup()
+    eos = 96
+    rng = np.random.RandomState(13)
+    short = list(rng.randint(1, 90, 5))
+    long_a = list(rng.randint(1, 90, 37))
+    long_b = list(rng.randint(1, 90, 20))
+
+    def run(drain):
+        eng = ContinuousEngine(params, CFG, max_slots=3, max_len=64,
+                               prefill_buckets=(8, 16), eos_token_id=eos,
+                               chunk_size=8)
+        rid_s = eng.submit(embeds_for(short),
+                           jnp.ones((1, 5), jnp.int32), 12)
+        rid_a = eng.submit(embeds_for(long_a),
+                           jnp.ones((1, 37), jnp.int32), 8)
+        rid_b = eng.submit(embeds_for(long_b),
+                           jnp.ones((1, 20), jnp.int32), 1)
+        if drain:
+            n = eng.drain_admissions()
+            assert n == 5 + 3      # ceil(37/8) + ceil(20/8)
+        else:
+            while eng._admissions:
+                eng.step()
+        res = eng.run_until_drained()
+        return [res[r] for r in (rid_s, rid_a, rid_b)]
+
+    want = run(False)
+    got = run(True)
+    assert got == want, (got, want)
+    # max_new=1 request must have exactly its first token
+    assert len(got[2]) == 1
