@@ -744,13 +744,6 @@ def main():
                                       kv_quant=True),
                     "tok/s/chip")
                 gc.collect()
-                run(names[9],
-                    functools.partial(bench_continuous_serving, params=pg,
-                                      slots=16, prompt=1024, new_max=128,
-                                      kv_heads=8, chunk_size=256,
-                                      factors=(2, 3, 4, 5, 6, 7, 8, 8)),
-                    "tok/s/chip")
-                gc.collect()
                 run(names[10],
                     functools.partial(bench_continuous_serving, params=pg,
                                       slots=16, prompt=1024, new_max=128,
@@ -766,6 +759,16 @@ def main():
                     functools.partial(bench_continuous_serving, params=pg,
                                       slots=64, new_max=256, kv_heads=8,
                                       factors=(1, 2, 3, 4, 5, 6, 7, 8)),
+                    "tok/s/chip")
+                gc.collect()
+                # the chunked NEGATIVE lane last: its ~10 min wall
+                # self-skips under the ETA guard on tight budgets, and
+                # the number only re-validates a documented refutation
+                run(names[9],
+                    functools.partial(bench_continuous_serving, params=pg,
+                                      slots=16, prompt=1024, new_max=128,
+                                      kv_heads=8, chunk_size=256,
+                                      factors=(2, 3, 4, 5, 6, 7, 8, 8)),
                     "tok/s/chip")
                 del pg
                 gc.collect()
